@@ -1,0 +1,178 @@
+"""Byte-exact tokenizer, vectorized for pandas/Arrow batches.
+
+Clean-room reimplementation of the reference tokenizer semantics
+(``cpp_modules/tokenizer/src/tokenizer.cpp:142-280``, delimiters at
+``tokenizer.h:32-44``), operating on UTF-8 *bytes*:
+
+* A **delimiter** is any ASCII whitespace (``isspace``: 0x09-0x0D, 0x20)
+  or ASCII punctuation (ranges 33-47, 58-64, 91-96, 123-126). Tokens are
+  maximal runs of non-delimiter bytes — note that ``'`` and ``-`` are
+  delimiters too, so the normalize-step "keep inner apostrophe/hyphen"
+  branch of the reference is unreachable in the document path.
+* **Normalization** = ASCII-only lowercase (C-locale ``tolower``,
+  ``ds_string.h:395-406``): bytes >= 0x80 (e.g. Cyrillic UTF-8) keep
+  their case. Digits kept (``remove_numbers: false``, config.yaml:57).
+* **Length bounds in bytes**: keep 2 <= len <= 50. A run longer than 50
+  bytes is flushed every time it reaches **51** bytes (the overflow
+  flush skips the max check, ``tokenizer.cpp:174-181``), producing
+  51-byte segments; the final remainder is kept iff 2 <= len <= 50.
+  Multi-byte UTF-8 may be split mid-character, exactly as the
+  byte-oriented reference does.
+* **Stopwords**: the reference's hardcoded 160-word lowercase Russian
+  list (``tokenizer.cpp:17-39``), matched on normalized bytes — so a
+  capitalized Cyrillic stopword is NOT filtered (ASCII-only folding).
+
+Positions: the reference records the *byte offset* of the raw token
+start (``tokenizer.cpp:198-280``). We emit the **token ordinal** as the
+position used for phrase/proximity (the documented intent,
+``report/main.tex:788-795``; the reference's byte-offset phrase check is
+de-facto broken — SURVEY.md §2.6 V5) and can also emit byte offsets.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, List, Tuple
+
+import pandas as pd
+
+from search_engine_spark.config import DEFAULT_CONFIG, EngineConfig
+
+# The reference's hardcoded Russian stopword list (tokenizer.cpp:17-39),
+# stored lowercase; membership is tested on normalized (ASCII-lowered) bytes.
+RUSSIAN_STOPWORDS: Tuple[str, ...] = (
+    "и", "в", "во", "не", "что", "он", "на", "я", "с", "со", "как", "а",
+    "то", "все", "она", "так", "его", "но", "да", "ты", "к", "у", "же",
+    "вы", "за", "бы", "по", "только", "ее", "мне", "было", "вот", "от",
+    "меня", "еще", "нет", "о", "из", "ему", "теперь", "когда", "даже",
+    "ну", "ли", "если", "уже", "или", "ни", "быть", "был", "него", "до",
+    "вас", "нибудь", "опять", "уж", "вам", "ведь", "там", "потом", "себя",
+    "ничего", "ей", "может", "они", "тут", "где", "есть", "надо", "ней",
+    "для", "мы", "тебя", "их", "чем", "была", "сам", "чтоб", "без", "будто",
+    "чего", "раз", "тоже", "себе", "под", "будет", "ж", "тогда", "кто",
+    "этот", "того", "потому", "этого", "какой", "совсем", "ним", "здесь",
+    "этом", "один", "почти", "мой", "тем", "чтобы", "нее", "сейчас", "были",
+    "куда", "зачем", "всех", "никогда", "можно", "при", "наконец", "два",
+    "об", "другой", "хоть", "после", "над", "больше", "тот", "через",
+    "эти", "нас", "про", "всего", "них", "какая", "много", "разве", "три",
+    "эту", "моя", "впрочем", "хорошо", "свою", "этой", "перед", "иногда",
+    "лучше", "чуть", "том", "нельзя", "такой", "им", "более", "всегда",
+    "конечно", "всю", "между",
+)
+
+STOPWORD_BYTES = frozenset(w.encode("utf-8") for w in RUSSIAN_STOPWORDS)
+
+# Delimiter byte class: isspace (\t\n\v\f\r, space) + ASCII punct ranges.
+_DELIM_CLASS = rb"\t\n\x0b\x0c\r !-/:-@\[-`{-~"
+TOKEN_RUN_RE = re.compile(rb"[^" + _DELIM_CLASS + rb"]+")
+
+# ASCII-only lowercase translation table (C-locale tolower).
+_LOWER_TABLE = bytes(
+    b + 32 if 0x41 <= b <= 0x5A else b for b in range(256)
+)
+
+# ASCII digits, for the (off-by-default) remove_numbers option.
+_DIGIT_DELETE = bytes(range(0x30, 0x3A))
+
+
+def _norm(run: bytes, cfg: EngineConfig) -> bytes:
+    """normalize_token (tokenizer.cpp:96-140) for document runs.
+
+    Runs contain no punctuation (punct is a delimiter), so only case
+    folding and optional digit removal apply.
+    """
+    if cfg.case_folding:
+        run = run.translate(_LOWER_TABLE)
+    if cfg.remove_numbers:
+        run = run.translate(None, _DIGIT_DELETE)
+    return run
+
+
+def tokenize_bytes(data: bytes, cfg: EngineConfig = DEFAULT_CONFIG) -> List[bytes]:
+    """Tokenize UTF-8 bytes; returns normalized token byte strings."""
+    out: List[bytes] = []
+    lo, hi = cfg.min_token_bytes, cfg.max_token_bytes
+    seg = hi + 1  # overflow flush size (tokenizer.cpp:174 triggers at size > max)
+    for m in TOKEN_RUN_RE.finditer(data):
+        raw = m.group()  # chunk the RAW bytes, normalize per chunk (reference order)
+        n = len(raw)
+        if n <= hi:
+            t = _norm(raw, cfg)
+            if lo <= len(t) <= hi and t not in STOPWORD_BYTES:
+                out.append(t)
+        else:
+            i = 0
+            while n - i > hi:
+                t = _norm(raw[i : i + seg], cfg)
+                if len(t) >= lo and t not in STOPWORD_BYTES:
+                    out.append(t)
+                i += seg
+            t = _norm(raw[i:], cfg)
+            if lo <= len(t) <= hi and t not in STOPWORD_BYTES:
+                out.append(t)
+    return out
+
+
+def tokenize_bytes_with_offsets(
+    data: bytes, cfg: EngineConfig = DEFAULT_CONFIG
+) -> List[Tuple[bytes, int]]:
+    """Tokenize returning (token, byte_offset_of_raw_token_start) pairs
+    (tokenize_with_positions, tokenizer.cpp:198-280)."""
+    out: List[Tuple[bytes, int]] = []
+    lo, hi = cfg.min_token_bytes, cfg.max_token_bytes
+    seg = hi + 1
+    for m in TOKEN_RUN_RE.finditer(data):
+        raw = m.group()
+        start = m.start()
+        n = len(raw)
+        if n <= hi:
+            t = _norm(raw, cfg)
+            if lo <= len(t) <= hi and t not in STOPWORD_BYTES:
+                out.append((t, start))
+        else:
+            i = 0
+            while n - i > hi:
+                t = _norm(raw[i : i + seg], cfg)
+                if len(t) >= lo and t not in STOPWORD_BYTES:
+                    out.append((t, start + i))
+                i += seg
+            t = _norm(raw[i:], cfg)
+            if lo <= len(t) <= hi and t not in STOPWORD_BYTES:
+                out.append((t, start + i))
+    return out
+
+
+def _decode(tok: bytes) -> str:
+    # Byte-oriented chunking may split multi-byte UTF-8 (reference parity);
+    # 'replace' keeps such tokens representable as Spark strings.
+    return tok.decode("utf-8", errors="replace")
+
+
+def tokenize_text(text: str, cfg: EngineConfig = DEFAULT_CONFIG) -> List[str]:
+    """Tokenize a Python str (UTF-8 byte semantics inside)."""
+    if not text:
+        return []
+    return [_decode(t) for t in tokenize_bytes(text.encode("utf-8"), cfg)]
+
+
+def doc_term_stats(
+    text: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> Iterator[Tuple[str, int, List[int]]]:
+    """Per-document term aggregation fused with tokenization (B1).
+
+    Yields (term, tf, positions) where positions are token ordinals,
+    mirroring InvertedIndex::index_document's per-doc HashTable pass
+    (inverted_index.cpp:46-68) but with ordinal positions (documented
+    intent for phrase matching).
+    """
+    agg: dict = {}
+    if text:
+        for ordinal, tok in enumerate(tokenize_bytes(text.encode("utf-8"), cfg)):
+            agg.setdefault(tok, []).append(ordinal)
+    for tok, positions in agg.items():
+        yield _decode(tok), len(positions), positions
+
+
+def tokenize_series(s: pd.Series, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.Series:
+    """Vectorized entry point for pandas UDFs: Series[str] -> Series[list[str]]."""
+    return s.map(lambda t: tokenize_text(t, cfg) if isinstance(t, str) else [])

@@ -1,0 +1,95 @@
+"""HTML extraction tests — the per-row invariant surface (FIXTURES.md §1).
+
+Golden strings pin the reference algorithm (page_downloader.py:249-291):
+decompose script/style/nav/footer/header/aside; selector order article,
+main, .content, #content, .post-content, .entry-content,
+.article-content with >100-char gate; body fallback; ' ' joins; \\s+
+collapse; strip.
+"""
+
+from search_engine_spark.functions.html_extract import extract_html, parse_html
+from search_engine_spark.sources.pages_source import generate_pages_pdf
+
+LONG = "слово " * 30  # > 100 chars once stripped
+
+
+def test_body_fallback():
+    html = f"<html><head><title>T</title></head><body><p>{LONG}</p></body></html>"
+    title, text = extract_html(html)
+    assert title == "T"
+    assert text == LONG.strip()
+
+
+def test_article_selector_wins_and_noise_removed():
+    html = (
+        "<html><head><title>T</title><style>p{color:red}</style></head><body>"
+        "<nav>NAVNOISE</nav><article><h1>H</h1><p>" + LONG + "</p></article>"
+        "<footer>FOOTNOISE</footer></body></html>"
+    )
+    _, text = extract_html(html)
+    assert "NAVNOISE" not in text and "FOOTNOISE" not in text
+    assert text == ("H " + LONG).strip()
+
+
+def test_script_content_never_indexed():
+    html = (
+        "<html><body><script>var x='SECRET';</script><main><p>"
+        + LONG + "</p></main></body></html>"
+    )
+    _, text = extract_html(html)
+    assert "SECRET" not in text
+    assert text == LONG.strip()
+
+
+def test_short_container_falls_back_to_body():
+    # article text <= 100 chars → not kept → body fallback (which includes it)
+    html = "<html><body><article>short</article><p>outside text</p></body></html>"
+    _, text = extract_html(html)
+    assert text == "short outside text"
+
+
+def test_multiple_selectors_duplicate_like_reference():
+    # An element with class "content" inside an <article>: both the
+    # article selector and .content selector match → text appended twice
+    # (the reference loop does not break; page_downloader.py:268-275).
+    inner = LONG.strip()
+    html = (
+        '<html><body><article><div class="content">' + LONG + "</div>"
+        "</article></body></html>"
+    )
+    _, text = extract_html(html)
+    assert text == inner + " " + inner
+
+
+def test_entities_unescaped():
+    html = "<html><body><p>a &amp; b &lt;c&gt; ещё</p></body></html>"
+    _, text = extract_html(html)
+    assert text == "a & b <c> ещё"
+
+
+def test_whitespace_collapse():
+    html = "<html><body><p>a\n\n  b\t\tc</p></body></html>"
+    _, text = extract_html(html)
+    assert text == "a b c"
+
+
+def test_get_text_strip_semantics():
+    # BS4 get_text(separator=' ', strip=True): per-node strip, skip
+    # empties, join with separator.
+    root = parse_html("<div> a <b> b </b>\n<i>  </i> c </div>")
+    assert root.get_text(" ", True) == "a b c"
+
+
+def test_corpus_generator_invariant():
+    pdf = generate_pages_pdf(n_docs=40, seed=42)
+    # text column (where present) must byte-equal extraction output
+    for _, row in pdf.iterrows():
+        if row["text"] is not None:
+            _, text = extract_html(row["html"])
+            assert text.encode("utf-8") == row["text"].encode("utf-8"), row["url"]
+    # deterministic: same seed → identical frame
+    pdf2 = generate_pages_pdf(n_docs=40, seed=42)
+    assert pdf.equals(pdf2)
+    # contains the reference query terms somewhere
+    blob = " ".join(t for t in pdf["text"] if t)
+    assert "математика" in blob and "информация" in blob
