@@ -1,0 +1,496 @@
+"""Inverted-index construction — the build-side dataflow (SURVEY.md §3.1).
+
+Spark-first pipeline, one tokenize pass, explicit partitioning::
+
+    pages (url, warc_ts, html, text, lang)
+      │  dedup by url keep-earliest warc_ts (E13: row_number window)
+      │  extract title/text via mapInPandas (E2-E3, Arrow batches)
+      │  deterministic dense doc_id: range-partition by url, two-pass
+      │  per-partition offsets (SURVEY §7.1 — no global sort bottleneck)
+      ▼
+    docmeta  (doc_id, url, title, lang, doc_len, unique_terms, text)
+      │  tokenize+per-doc aggregate fused in one mapInPandas (B1:
+      │  inverted_index.cpp:46-68 semantics), sortWithinPartitions →
+      ▼
+    postings (term, doc_id, tf, doc_len[, positions])   ← sorted runs
+      │  groupBy(term) partial+final agg
+      ▼
+    dictionary (term, df, cf)                           (B7)
+      │  heavy terms (df > salt_df_threshold) broadcast back; salt =
+      │  pmod(doc_id, S) splits their posting lists (north_rule skew)
+      │  repartition(P, term, salt) + sortWithinPartitions(term, salt,
+      │  doc_id) — the shuffle-merge of sorted runs by term hash
+      ▼
+    blocks  (term, block_id, doc_count, min_doc, max_doc, max_tf,
+             max_stf, max_score, doc_gaps, tfs)          (B9 + block-max)
+
+Each stage persists through :class:`IndexStore` and is checkpoint-
+resumable via the manifest (S13 model). At 10^12 docs the same plan
+holds: every shuffle is keyed and bounded (term-hash × salt), the only
+driver-side data are per-partition counts and the heavy-term list.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from search_engine_spark.config import DEFAULT_CONFIG, EngineConfig
+from search_engine_spark.functions import codec
+from search_engine_spark.functions.html_extract import extract_html
+from search_engine_spark.functions.stemmer import stem_text_token
+from search_engine_spark.functions.tokenizer import doc_term_stats, tokenize_text
+from search_engine_spark.sources.index_store import IndexStore
+
+# --------------------------------------------------------------------------
+# stage 1: docmeta (dedup → extract → doc_id)
+# --------------------------------------------------------------------------
+
+_DOCMETA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("doc_len", T.LongType(), False),
+        T.StructField("unique_terms", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def dedup_pages(pages: DataFrame) -> DataFrame:
+    """Keep the earliest warc_ts per url (inverted_index.cpp:20-25:
+    first writer wins; warc_ts is the deterministic 'first')."""
+    if "warc_ts" not in pages.columns:
+        return pages.dropDuplicates(["url"])
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").asc_nulls_last())
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _extract_map(cfg: EngineConfig):
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            titles, texts = [], []
+            html_col = pdf["html"] if "html" in pdf.columns else [None] * len(pdf)
+            text_col = pdf["text"] if "text" in pdf.columns else [None] * len(pdf)
+            title_col = pdf["title"] if "title" in pdf.columns else [None] * len(pdf)
+            for html, pre, pre_title in zip(html_col, text_col, title_col):
+                if isinstance(pre, str) and pre:
+                    # pre-extracted text present: per-row invariant says it
+                    # byte-equals what extraction would produce; trust it and
+                    # only pull the title from html if needed.
+                    if isinstance(pre_title, str) and pre_title:
+                        titles.append(pre_title)
+                    elif html is not None:
+                        titles.append(extract_html(html)[0])
+                    else:
+                        titles.append("")
+                    texts.append(pre)
+                else:
+                    t, x = extract_html(html)
+                    titles.append(t)
+                    texts.append(x)
+            out = pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "title": titles,
+                    "text": texts,
+                    "lang": (
+                        pdf["lang"] if "lang" in pdf.columns else [""] * len(pdf)
+                    ),
+                }
+            )
+            if cfg.min_article_length > 0:
+                out = out[out["text"].str.len() >= cfg.min_article_length]
+            yield out
+
+    return fn
+
+
+def assign_doc_ids(spark: SparkSession, docs: DataFrame, partitions: int) -> DataFrame:
+    """Deterministic dense doc_id = rank of url in global url order.
+
+    Scalable two-pass zipWithIndex (no single-partition window): range-
+    partition by url, count rows per partition, broadcast the offsets,
+    then add per-partition ordinals in one mapInPandas. The partitioned
+    frame is persisted so both passes see identical partitioning.
+    """
+    parts = max(1, min(partitions, 200))
+    ranged = (
+        docs.repartitionByRange(parts, "url").sortWithinPartitions("url").persist()
+    )
+    counts = (
+        ranged.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .count()
+        .collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False)] + list(docs.schema.fields)
+    )
+
+    def add_ids(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        seen = 0
+        for pdf in batches:
+            ids = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            pdf = pdf.copy()
+            pdf.insert(0, "doc_id", ids)
+            yield pdf
+
+    assigned = ranged.mapInPandas(add_ids, schema=out_schema)
+    return assigned
+
+
+def build_docs(
+    spark: SparkSession, pages: DataFrame, cfg: EngineConfig
+) -> DataFrame:
+    """dedup → extract → deterministic doc_id (no token stats yet —
+    tokenization happens exactly once, in the postings stage)."""
+    deduped = dedup_pages(pages)
+    extract_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("title", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+        ]
+    )
+    extracted = deduped.mapInPandas(_extract_map(cfg), schema=extract_schema)
+    return assign_doc_ids(spark, extracted, cfg.index_partitions)
+
+
+def build_docmeta(docs: DataFrame, postings: DataFrame) -> DataFrame:
+    """docmeta = docs ⋈ per-doc token stats derived from postings (B3):
+    doc_len = Σtf (total tokens, BM25 |d|), unique_terms = #distinct
+    terms (the reference's Document.length, inverted_index.cpp:99-100)."""
+    stats = postings.groupBy("doc_id").agg(
+        F.sum("tf").alias("doc_len"), F.count("*").alias("unique_terms")
+    )
+    return (
+        docs.join(stats, "doc_id", "left")
+        .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)).cast("long"))
+        .withColumn(
+            "unique_terms", F.coalesce(F.col("unique_terms"), F.lit(0)).cast("long")
+        )
+        .select("doc_id", "url", "title", "lang", "doc_len", "unique_terms", "text")
+    )
+
+
+# --------------------------------------------------------------------------
+# stage 2: postings (tokenize, fused per-doc aggregation — sorted runs)
+# --------------------------------------------------------------------------
+
+
+def postings_schema(cfg: EngineConfig) -> T.StructType:
+    fields = [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("doc_len", T.LongType(), False),
+    ]
+    if cfg.store_positions:
+        fields.append(
+            T.StructField("positions", T.ArrayType(T.IntegerType()), True)
+        )
+    return T.StructType(fields)
+
+
+def _tokenize_map(cfg: EngineConfig):
+    store_pos = cfg.store_positions
+    use_stem = cfg.use_stemmer
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms, doc_ids, tfs, dls, poss = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                stats = list(doc_term_stats(text or "", cfg))
+                doc_len = sum(tf for _, tf, _ in stats)  # total tokens
+                if use_stem:
+                    # stems may collide within a doc → re-aggregate
+                    merged: dict = {}
+                    for term, tf, positions in stats:
+                        e = merged.setdefault(stem_text_token(term), [0, []])
+                        e[0] += tf
+                        e[1].extend(positions)
+                    stats = [
+                        (t, tf_ps[0], sorted(tf_ps[1]))
+                        for t, tf_ps in merged.items()
+                    ]
+                for term, tf, positions in stats:
+                    terms.append(term)
+                    doc_ids.append(doc_id)
+                    tfs.append(tf)
+                    dls.append(doc_len)
+                    if store_pos:
+                        poss.append(positions)
+            data = {
+                "term": pd.array(terms, dtype=object),
+                "doc_id": np.array(doc_ids, dtype=np.int64),
+                "tf": np.array(tfs, dtype=np.int32),
+                "doc_len": np.array(dls, dtype=np.int64),
+            }
+            if store_pos:
+                data["positions"] = pd.array(poss, dtype=object)
+            yield pd.DataFrame(data)
+
+    return fn
+
+
+def build_postings(docs: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Long-form postings, written as per-partition (term, doc_id) sorted
+    runs (north_rule). Column pruning keeps later readers cheap."""
+    src = docs.select("doc_id", "text")
+    long = src.mapInPandas(_tokenize_map(cfg), schema=postings_schema(cfg))
+    return long.sortWithinPartitions("term", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# stage 3: dictionary (df/cf) — B7
+# --------------------------------------------------------------------------
+
+
+def build_dictionary(postings: DataFrame) -> DataFrame:
+    return postings.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+# --------------------------------------------------------------------------
+# stage 4: compressed blocks with block-max metadata — B9
+# --------------------------------------------------------------------------
+
+_BLOCKS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("block_id", T.LongType(), False),
+        T.StructField("doc_count", T.IntegerType(), False),
+        T.StructField("min_doc", T.LongType(), False),
+        T.StructField("max_doc", T.LongType(), False),
+        T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("max_stf", T.DoubleType(), False),
+        T.StructField("max_score", T.DoubleType(), False),
+        T.StructField("doc_gaps", T.BinaryType(), False),
+        T.StructField("tfs", T.BinaryType(), False),
+        T.StructField("dls", T.BinaryType(), False),
+    ]
+)
+
+
+def _block_builder(cfg: EngineConfig, n_docs: int, avgdl: float):
+    """mapInPandas over (term, salt, doc_id)-sorted partitions.
+
+    Groups may span Arrow batches within a partition → carry the
+    trailing (term, salt) group over to the next batch.
+    """
+    import math
+
+    k1, b, bs = cfg.k1, cfg.b, cfg.block_size
+
+    def emit(term: str, salt: int, g: pd.DataFrame, rows: list) -> None:
+        doc_ids = g["doc_id"].to_numpy()
+        tfs = g["tf"].to_numpy()
+        dls = g["doc_len"].to_numpy()
+        df = int(g["df"].iloc[0]) if not pd.isna(g["df"].iloc[0]) else len(g)
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        for seq, cnt, mn, mx, max_tf, max_stf, gaps, tfb, dlb in codec.build_blocks(
+            doc_ids, tfs, dls, avgdl, k1, b, bs
+        ):
+            rows.append(
+                (
+                    term,
+                    int(salt) * (1 << 20) + seq,
+                    cnt,
+                    mn,
+                    mx,
+                    max_tf,
+                    max_stf,
+                    idf * max_stf,
+                    gaps,
+                    tfb,
+                    dlb,
+                )
+            )
+
+    def flush(pdf: pd.DataFrame, rows: list, keep_tail: bool):
+        """Emit all complete (term, salt) groups; return the tail group."""
+        if len(pdf) == 0:
+            return pdf
+        keys = pdf[["term", "salt"]]
+        boundary = (keys != keys.shift()).any(axis=1).to_numpy()
+        starts = np.flatnonzero(boundary)
+        ends = np.append(starts[1:], len(pdf))
+        last = len(starts) - 1
+        for gi, (s, e) in enumerate(zip(starts, ends)):
+            if keep_tail and gi == last:
+                return pdf.iloc[s:].copy()
+            g = pdf.iloc[s:e]
+            emit(g["term"].iloc[0], g["salt"].iloc[0], g, rows)
+        return pdf.iloc[0:0]
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: Optional[pd.DataFrame] = None
+        cols = [f.name for f in _BLOCKS_SCHEMA.fields]
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            rows: list = []
+            buf = flush(pdf, rows, keep_tail=True)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+        if buf is not None and len(buf):
+            rows = []
+            flush(buf, rows, keep_tail=False)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return fn
+
+
+def build_blocks(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    cfg: EngineConfig,
+    n_docs: int,
+    avgdl: float,
+) -> DataFrame:
+    heavy = dictionary.filter(F.col("df") > cfg.salt_df_threshold).select("term", "df")
+    salted = (
+        postings.select("term", "doc_id", "tf", "doc_len")
+        .join(F.broadcast(heavy), "term", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("df").isNotNull(),
+                F.pmod(F.col("doc_id"), F.lit(cfg.salt_buckets)),
+            ).otherwise(F.lit(0)).cast("int"),
+        )
+    )
+    shuffled = salted.repartition(
+        cfg.index_partitions, "term", "salt"
+    ).sortWithinPartitions("term", "salt", "doc_id")
+    return shuffled.mapInPandas(
+        _block_builder(cfg, n_docs, avgdl), schema=_BLOCKS_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# orchestration: checkpoint-resumable build
+# --------------------------------------------------------------------------
+
+
+def compute_index_stats(store: IndexStore, spark: SparkSession) -> dict:
+    """IndexStats (B6 — inverted_index.cpp:158-204 parity):
+    avg_document_length averages unique_terms; most_frequent_term by df
+    with deterministic (df, term) tie-break."""
+    docmeta = store.read_stage(spark, "docmeta")
+    dictionary = store.read_stage(spark, "dictionary")
+    d = docmeta.agg(
+        F.count("*").alias("n"),
+        F.avg("unique_terms").alias("avg_unique"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").alias("total_tokens"),
+    ).collect()[0]
+    t = dictionary.agg(
+        F.count("*").alias("terms"),
+        F.sum("df").alias("postings"),
+        F.max(F.struct("df", "term")).alias("most"),
+    ).collect()[0]
+    n_terms = t["terms"] or 0
+    n_postings = int(t["postings"] or 0)
+    return {
+        "total_documents": int(d["n"]),
+        "total_terms": int(n_terms),
+        "total_postings": n_postings,
+        "total_tokens": int(d["total_tokens"] or 0),
+        "avg_document_length": float(d["avg_unique"] or 0.0),
+        "avgdl_tokens": float(d["avgdl"] or 0.0),
+        "avg_term_frequency": (n_postings / n_terms) if n_terms else 0.0,
+        "most_frequent_term": t["most"]["term"] if t["most"] else None,
+    }
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    resume: bool = False,
+) -> IndexStore:
+    """End-to-end build. ``resume=True`` skips stages whose manifest
+    entry is complete (kill the job after any stage; rerun resumes)."""
+    from search_engine_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    store = IndexStore(index_dir)
+    timings = {}
+
+    if not (resume and store.stage_complete("docs")):
+        t0 = time.time()
+        store.write_stage("docs", build_docs(spark, pages, cfg), t0)
+        timings["docs_s"] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()  # release the doc-id range partitioning
+    docs = store.read_stage(spark, "docs")
+
+    if not (resume and store.stage_complete("postings")):
+        t0 = time.time()
+        store.write_stage("postings", build_postings(docs, cfg), t0)
+        timings["postings_s"] = round(time.time() - t0, 3)
+    postings = store.read_stage(spark, "postings")
+
+    if not (resume and store.stage_complete("docmeta")):
+        t0 = time.time()
+        store.write_stage("docmeta", build_docmeta(docs, postings), t0)
+        timings["docmeta_s"] = round(time.time() - t0, 3)
+    docmeta = store.read_stage(spark, "docmeta")
+
+    if not (resume and store.stage_complete("dictionary")):
+        t0 = time.time()
+        store.write_stage("dictionary", build_dictionary(postings), t0)
+        timings["dictionary_s"] = round(time.time() - t0, 3)
+    dictionary = store.read_stage(spark, "dictionary")
+
+    agg = docmeta.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
+
+    if not (resume and store.stage_complete("blocks")):
+        t0 = time.time()
+        store.write_stage(
+            "blocks", build_blocks(postings, dictionary, cfg, n_docs, avgdl), t0
+        )
+        timings["blocks_s"] = round(time.time() - t0, 3)
+
+    stats = compute_index_stats(store, spark)
+    store.write_meta(
+        {
+            "config": cfg.to_dict(),
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "stats": stats,
+            "timings": timings,
+        }
+    )
+    return store

@@ -1,0 +1,365 @@
+"""Query evaluation: AST → DataFrame plan, BM25 top-k, block-max pruning.
+
+Spark lifecycle (SURVEY.md §3.2): the driver parses the query
+(microseconds) and compiles the AST into a DataFrame plan — term leaves
+are term-predicate scans of the ``blocks`` table (parquet predicate
+pushdown prunes row groups by the sorted ``term`` column), AND/OR/NOT
+become joins/unions/anti-joins on doc_id, scoring decompresses blocks in
+a vectorized mapInPandas and computes exact BM25; top-k is
+``orderBy(score desc, doc_id asc).limit(k)`` (Spark TakeOrdered).
+
+Boolean semantics are the reference bitmap algebra (query_evaluator.cpp
+:192-238) re-expressed as doc-id set dataflow — at 10^12 docs bitmaps
+are infeasible, sets shuffle-partition instead (SURVEY §4.1). Scores:
+BM25 summed over matched positive terms; NOT contributes score 0 over
+the docmeta universe; rank ties break by doc_id asc
+(query_evaluator.h:22-28).
+
+Block-max pruning (north_rule): for single-term queries over large
+posting lists, a two-phase exact top-k — phase 1 scores just enough
+highest-``max_score`` blocks to cover k docs, establishing an exact
+threshold θ; phase 2 scores only remaining blocks with ``max_score > θ``
+(a parquet-pushable predicate on block metadata). Always rank-identical
+to the full scan; multi-term queries currently take the full-scan path
+(upper bounds are stored per block, so WAND-style multi-term pruning is
+a pure query-side extension).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from functools import reduce
+from typing import Dict, Iterable, Iterator, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.functions import codec
+from search_engine_spark.plans import query_parser as qp
+from search_engine_spark.sources.index_store import IndexStore
+
+_SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+def _decode_score_map(idf: float, k1: float, b: float, avgdl: float):
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs_d, outs_s = [], []
+            for gaps, tfb, dlb in zip(pdf["doc_gaps"], pdf["tfs"], pdf["dls"]):
+                d, t, dl = codec.decode_block(bytes(gaps), bytes(tfb), bytes(dlb))
+                outs_d.append(d)
+                outs_s.append(idf * codec.bm25_stf(t, dl, avgdl, k1, b))
+            if outs_d:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(outs_d),
+                        "score": np.concatenate(outs_s),
+                    }
+                )
+
+    return fn
+
+
+class SearchEngine:
+    """Query-side facade over a built index directory."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True):
+        from search_engine_spark.session import ensure_shipped
+
+        ensure_shipped(spark)
+        self.spark = spark
+        self.store = IndexStore(index_dir)
+        meta = self.store.read_meta()
+        self.cfg = EngineConfig.from_dict(meta["config"])
+        self.n_docs: int = meta["n_docs"]
+        self.avgdl: float = meta["avgdl"] or 1.0
+        self.blocks = self.store.read_stage(spark, "blocks")
+        self.docmeta = self.store.read_stage(spark, "docmeta")
+        self.dictionary = self.store.read_stage(spark, "dictionary")
+        self.postings = (
+            self.store.read_stage(spark, "postings")
+            if self.cfg.store_positions
+            else None
+        )
+        if cache:
+            # hot query-side tables; blocks/docmeta are the per-query scans
+            self.blocks = self.blocks.cache()
+            self.docmeta = self.docmeta.cache()
+        self.query_log: List[dict] = []
+
+    # -- dictionary lookups (driver-side, tiny) ------------------------
+    def term_stats(self, terms: List[str]) -> Dict[str, Tuple[int, int]]:
+        if not terms:
+            return {}
+        rows = self.dictionary.filter(F.col("term").isin(terms)).collect()
+        return {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+
+    def idf(self, df: int) -> float:
+        return math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    # -- leaf: one term's (doc_id, score) -------------------------------
+    def _term_scores(self, term: str, df: Optional[int] = None) -> DataFrame:
+        if df is None:
+            df = self.term_stats([term]).get(term, (0, 0))[0]
+        if df == 0:
+            return self.spark.createDataFrame([], _SCORE_SCHEMA)
+        idf = self.idf(df)
+        blk = self.blocks.filter(F.col("term") == term).select(
+            "doc_gaps", "tfs", "dls"
+        )
+        return blk.mapInPandas(
+            _decode_score_map(idf, self.cfg.k1, self.cfg.b, self.avgdl),
+            schema=_SCORE_SCHEMA,
+        )
+
+    def _term_scores_topk_pruned(self, term: str, df: int, k: int) -> DataFrame:
+        """Two-phase exact block-max top-k for a single-term query."""
+        idf = self.idf(df)
+        meta = self.blocks.filter(F.col("term") == term).select(
+            "block_id", "doc_count", "max_score"
+        )
+        w = Window.orderBy(F.col("max_score").desc(), F.col("block_id"))
+        ranked = meta.withColumn(
+            "cum", F.sum("doc_count").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        ).withColumn("rank", F.row_number().over(w))
+        # smallest prefix of blocks (by max_score desc) covering >= k docs
+        first_cover = (
+            ranked.filter(F.col("cum") >= k).agg(F.min("rank").alias("r")).collect()
+        )[0]["r"]
+        if first_cover is None:
+            return self._term_scores(term, df)
+        phase1_ids = [
+            r["block_id"]
+            for r in ranked.filter(F.col("rank") <= first_cover).collect()
+        ]
+        dec = _decode_score_map(idf, self.cfg.k1, self.cfg.b, self.avgdl)
+        p1 = (
+            self.blocks.filter(
+                (F.col("term") == term) & F.col("block_id").isin(phase1_ids)
+            )
+            .select("doc_gaps", "tfs", "dls")
+            .mapInPandas(dec, schema=_SCORE_SCHEMA)
+        )
+        topk1 = p1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        if len(topk1) < k:
+            return self._term_scores(term, df)  # tiny list; no pruning value
+        theta = topk1[-1]["score"]
+        # phase 2: only blocks that could still beat θ (pushable predicate)
+        p2 = (
+            self.blocks.filter(
+                (F.col("term") == term)
+                & (~F.col("block_id").isin(phase1_ids))
+                & (F.col("max_score") > theta)
+            )
+            .select("doc_gaps", "tfs", "dls")
+            .mapInPandas(dec, schema=_SCORE_SCHEMA)
+        )
+        p1df = self.spark.createDataFrame(
+            [(r["doc_id"], r["score"]) for r in topk1], _SCORE_SCHEMA
+        )
+        return p1df.unionByName(p2)
+
+    # -- phrase / proximity ---------------------------------------------
+    def _phrase_candidates(self, terms: Tuple[str, ...], prox: Optional[int]) -> DataFrame:
+        """doc_ids containing the phrase (consecutive token ordinals) or
+        all terms within a +prox ordinal window of the first term."""
+        if self.postings is None:
+            raise RuntimeError("positions not stored; rebuild with store_positions")
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long")
+        parts = []
+        for i, t in enumerate(terms):
+            parts.append(
+                self.postings.filter(F.col("term") == t)
+                .select("doc_id", F.col("positions").alias(f"p{i}"))
+            )
+        joined = reduce(lambda a, b: a.join(b, "doc_id"), parts)
+        if len(terms) == 1:
+            return joined.select("doc_id")
+        if prox is None:
+            # exists x in p0: forall i: (x+i) in p_i   — all JVM-side
+            cond = F.exists(
+                F.col("p0"),
+                lambda x: reduce(
+                    lambda acc, i: acc
+                    & F.array_contains(F.col(f"p{i}"), x + F.lit(i)),
+                    range(1, len(terms)),
+                    F.lit(True),
+                ),
+            )
+        else:
+            # exists x in p0: forall i: exists y in p_i: x <= y <= x+prox
+            cond = F.exists(
+                F.col("p0"),
+                lambda x: reduce(
+                    lambda acc, i: acc
+                    & F.exists(
+                        F.col(f"p{i}"),
+                        lambda y: (y >= x) & (y <= x + F.lit(prox)),
+                    ),
+                    range(1, len(terms)),
+                    F.lit(True),
+                ),
+            )
+        return joined.filter(cond).select("doc_id")
+
+    # -- AST → (doc_id, score) DataFrame ---------------------------------
+    def _eval(self, node: qp.Node, stats: Dict[str, Tuple[int, int]]) -> DataFrame:
+        if isinstance(node, qp.Term):
+            df = stats.get(node.term, (0, 0))[0]
+            return self._term_scores(node.term, df)
+        if isinstance(node, qp.Phrase):
+            cand = self._phrase_candidates(node.terms, node.proximity)
+            score_parts = [
+                self._eval(qp.Term(t), stats).withColumnRenamed("score", "s")
+                for t in node.terms
+            ]
+            scores = (
+                reduce(DataFrame.unionByName, score_parts)
+                .groupBy("doc_id")
+                .agg(F.sum("s").alias("score"))
+            )
+            return cand.join(scores, "doc_id", "inner").select("doc_id", "score")
+        if isinstance(node, qp.Not):
+            inner = self._eval(node.child, stats)
+            return (
+                self.docmeta.select("doc_id")
+                .join(inner.select("doc_id"), "doc_id", "left_anti")
+                .withColumn("score", F.lit(0.0))
+            )
+        if isinstance(node, (qp.And, qp.Or)):
+            l = self._eval(node.left, stats).withColumnRenamed("score", "ls")
+            r = self._eval(node.right, stats).withColumnRenamed("score", "rs")
+            if isinstance(node, qp.And):
+                return l.join(r, "doc_id", "inner").select(
+                    "doc_id", (F.col("ls") + F.col("rs")).alias("score")
+                )
+            return (
+                l.join(r, "doc_id", "full")
+                .select(
+                    "doc_id",
+                    (
+                        F.coalesce(F.col("ls"), F.lit(0.0))
+                        + F.coalesce(F.col("rs"), F.lit(0.0))
+                    ).alias("score"),
+                )
+            )
+        raise TypeError(node)
+
+    def scores_df(self, query: str) -> DataFrame:
+        """(doc_id, score) for every matching document."""
+        ast = qp.parse(query)
+        if ast is None:
+            return self.spark.createDataFrame([], _SCORE_SCHEMA)
+        stats = self.term_stats(qp.extract_terms(ast))
+        return self._eval(ast, stats)
+
+    # -- public API -------------------------------------------------------
+    def search(
+        self, query: str, k: Optional[int] = None, with_meta: bool = True
+    ) -> DataFrame:
+        """Top-k ranked (doc_id, score[, url, title]) — V7/V8/V10."""
+        k = k or self.cfg.default_top_k
+        t0 = time.time()
+        ast = qp.parse(query)
+        if ast is None:
+            out = self.spark.createDataFrame([], _SCORE_SCHEMA)
+        else:
+            stats = self.term_stats(qp.extract_terms(ast))
+            if isinstance(ast, qp.Term):
+                df = stats.get(ast.term, (0, 0))[0]
+                n_blocks = (df + self.cfg.block_size - 1) // self.cfg.block_size
+                if n_blocks > self.cfg.wand_min_blocks:
+                    scores = self._term_scores_topk_pruned(ast.term, df, k)
+                else:
+                    scores = self._term_scores(ast.term, df)
+            else:
+                scores = self._eval(ast, stats)
+            out = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if with_meta:
+            out = out.join(
+                F.broadcast(self.docmeta.select("doc_id", "url", "title")),
+                "doc_id",
+                "left",
+            ).orderBy(F.desc("score"), F.asc("doc_id"))
+        self.query_log.append({"query": query, "wall_ms": (time.time() - t0) * 1000})
+        return out
+
+    def count(self, query: str) -> int:
+        """Total matching docs (V9) — one plan, no re-evaluation (the
+        reference re-runs the whole query for count, boolean_search.cpp:74)."""
+        return self.scores_df(query).count()
+
+    def search_batch(self, queries: List[str], k: Optional[int] = None) -> DataFrame:
+        """V11: union of per-query top-k plans tagged with the query."""
+        parts = [
+            self.search(q, k, with_meta=False).withColumn("query", F.lit(q))
+            for q in queries
+        ]
+        return reduce(DataFrame.unionByName, parts)
+
+    # -- V12: prefix suggestions ----------------------------------------
+    def suggest(self, prefix: str, n: int = 10) -> List[str]:
+        rows = (
+            self.dictionary.filter(F.col("term").startswith(prefix))
+            .orderBy("term")
+            .limit(n)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    # -- V13: more-like-this ----------------------------------------------
+    def more_like_this(self, doc_id: int, k: int = 10) -> DataFrame:
+        """Fully relational: the source doc's terms (a small broadcast)
+        semi-join the postings table; BM25 is a closed-form column
+        expression over (tf, doc_len, df) — one shuffle (the groupBy),
+        no per-term plans (the reference builds a giant OR query,
+        boolean_search.cpp:242-281)."""
+        src = self.postings
+        if src is None:
+            raise RuntimeError("more_like_this requires the postings stage")
+        doc_terms = src.filter(F.col("doc_id") == doc_id).select("term").distinct()
+        k1, b = self.cfg.k1, self.cfg.b
+        idf_col = F.log(
+            (F.lit(float(self.n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            + 1.0
+        )
+        stf_col = F.col("tf") / (
+            F.col("tf")
+            + F.lit(k1)
+            * (1.0 - b + F.lit(b) * F.col("doc_len") / F.lit(self.avgdl))
+        )
+        scores = (
+            src.join(F.broadcast(doc_terms), "term")
+            .join(F.broadcast(self.dictionary.join(doc_terms, "term")), "term")
+            .withColumn("s", idf_col * stf_col)
+            .filter(F.col("doc_id") != doc_id)
+            .groupBy("doc_id")
+            .agg(F.sum("s").alias("score"))
+        )
+        return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # -- V15: search statistics -------------------------------------------
+    def stats_summary(self) -> dict:
+        lat = sorted(q["wall_ms"] for q in self.query_log)
+        if not lat:
+            return {"queries": 0}
+        import statistics
+
+        return {
+            "queries": len(lat),
+            "mean_ms": statistics.fmean(lat),
+            "median_ms": statistics.median(lat),
+            "min_ms": lat[0],
+            "max_ms": lat[-1],
+        }

@@ -1,0 +1,68 @@
+"""SparkSession helpers + package self-shipping.
+
+``ensure_shipped(spark)`` zips this package and ``addPyFile``s it so
+executor Python workers can unpickle our mapInPandas closures no matter
+where the driver script lives. On a real cluster this is what
+``spark-submit --py-files search_engine_spark.zip`` does (north_rule);
+calling it from the library makes every entry point self-contained —
+local mode, notebooks, and cold spark-submit runs all work identically.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED_ATTR = "_search_engine_spark_shipped"
+
+
+def package_zip(out_path: str | None = None) -> str:
+    """Zip the installed search_engine_spark package (for --py-files)."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    if out_path is None:
+        out_path = os.path.join(
+            tempfile.gettempdir(), "search_engine_spark_pyfiles.zip"
+        )
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    return out_path
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Idempotently ship this package to executors via addPyFile."""
+    sc = spark.sparkContext
+    if getattr(sc, _SHIPPED_ATTR, False):
+        return
+    sc.addPyFile(package_zip())
+    setattr(sc, _SHIPPED_ATTR, True)
+
+
+def build_session(
+    cpus: int | str = "*",
+    shuffle_partitions: int = 32,
+    app_name: str = "search_engine_spark",
+    driver_memory: str = "32g",
+) -> SparkSession:
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    ensure_shipped(spark)
+    return spark

@@ -1,0 +1,160 @@
+"""Index equivalence + rank-identity — the contract tests (SURVEY §5.2 3-4).
+
+Builds the Spark index over the synthetic corpus, compares every
+artifact against the single-node oracle model, then asserts top-k
+doc_id sequences AND scores match to 1e-9 for the reference query set
+(scripts/test_cpp_search.py:80-85) and the boolean/phrase suites lifted
+from the reference's own unit tests (FIXTURES.md §3-4).
+"""
+
+import math
+
+import pytest
+
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.operators.index_build import build_index
+from search_engine_spark.operators.query_eval import SearchEngine
+from search_engine_spark.oracle.refmodel import RefIndex
+from search_engine_spark.sources.pages_source import (
+    REFERENCE_QUERY_TERMS, generate_pages_pdf, pages_df,
+)
+
+N_DOCS = 400
+CFG = EngineConfig(index_partitions=8, block_size=16, wand_min_blocks=2)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx") / "index")
+    pages = pages_df(spark, n_docs=N_DOCS, seed=42)
+    store = build_index(spark, pages, out, CFG)
+    engine = SearchEngine(spark, out)
+    # oracle over the same corpus (extraction applied where text is null)
+    pdf = generate_pages_pdf(n_docs=N_DOCS, seed=42)
+    from search_engine_spark.functions.html_extract import extract_html
+
+    rows = []
+    for _, r in pdf.iterrows():
+        if r["text"] is not None:
+            rows.append(
+                {"url": r["url"], "warc_ts": r["warc_ts"],
+                 "title": extract_html(r["html"])[0], "text": r["text"]}
+            )
+        else:
+            title, text = extract_html(r["html"])
+            rows.append(
+                {"url": r["url"], "warc_ts": r["warc_ts"], "title": title,
+                 "text": text}
+            )
+    oracle = RefIndex.from_rows(rows, CFG)
+    return store, engine, oracle
+
+
+def test_docmeta_matches_oracle(spark, built):
+    store, _, oracle = built
+    got = {
+        r["doc_id"]: (r["url"], r["doc_len"], r["unique_terms"])
+        for r in store.read_stage(spark, "docmeta").collect()
+    }
+    assert len(got) == oracle.n_docs
+    for d in oracle.docs:
+        assert got[d.doc_id] == (d.url, d.doc_len, d.unique_terms), d.url
+
+
+def test_dictionary_matches_oracle(spark, built):
+    store, _, oracle = built
+    got = {
+        r["term"]: (r["df"], r["cf"])
+        for r in store.read_stage(spark, "dictionary").collect()
+    }
+    want = {t: (oracle.df(t), oracle.cf(t)) for t in oracle.postings}
+    assert got == want
+
+
+def test_blocks_decode_to_oracle_postings(spark, built):
+    store, _, oracle = built
+    from search_engine_spark.functions import codec
+
+    by_term = {}
+    for r in store.read_stage(spark, "blocks").collect():
+        by_term.setdefault(r["term"], []).append(r)
+    assert set(by_term) == set(oracle.postings)
+    for term, blocks in by_term.items():
+        got = []
+        for blk in sorted(blocks, key=lambda r: r["block_id"]):
+            d, t, _ = codec.decode_block(
+                bytes(blk["doc_gaps"]), bytes(blk["tfs"]), bytes(blk["dls"])
+            )
+            got.extend(zip(d.tolist(), t.tolist()))
+        got.sort()
+        want = sorted((doc, tf) for doc, tf, _ in oracle.postings[term])
+        assert got == want, term
+
+
+def test_index_stats_match(built):
+    store, _, oracle = built
+    meta = store.read_meta()
+    want = oracle.stats()
+    got = meta["stats"]
+    assert got["total_documents"] == want["total_documents"]
+    assert got["total_terms"] == want["total_terms"]
+    assert got["total_postings"] == want["total_postings"]
+    assert math.isclose(
+        got["avg_document_length"], want["avg_document_length"], rel_tol=1e-9
+    )
+    assert got["most_frequent_term"] == want["most_frequent_term"]
+    assert math.isclose(meta["avgdl"], oracle.avgdl, rel_tol=1e-9)
+
+
+def _rank_identical(engine, oracle, query, k=10):
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.search(query, k, with_meta=False).collect()
+    ]
+    want = oracle.search(query, k)
+    assert [d for d, _ in got] == [d for d, _ in want], query
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9), (query, gd, gs, ws)
+
+
+def test_rank_identity_reference_query_set(built):
+    _, engine, oracle = built
+    for q in REFERENCE_QUERY_TERMS:
+        _rank_identical(engine, oracle, q)
+
+
+def test_rank_identity_boolean_queries(built):
+    _, engine, oracle = built
+    for q in [
+        "математика && информация",
+        "математика || число",
+        "число && !алгебра",
+        "(математика || информация) && число",
+        "математика информация",  # implicit AND
+        "!математика && алгебра",
+    ]:
+        _rank_identical(engine, oracle, q)
+
+
+def test_count_matches(built):
+    _, engine, oracle = built
+    for q in ["математика", "математика && информация", "математика || число"]:
+        assert engine.count(q) == oracle.count(q), q
+
+
+def test_wand_pruning_rank_identical(built):
+    # cfg.wand_min_blocks=2, block_size=16 → frequent terms take the
+    # pruned path; compare against oracle directly
+    _, engine, oracle = built
+    stats = engine.term_stats(["математика"])
+    df = stats["математика"][0]
+    assert df > 2 * CFG.block_size, "fixture must exercise pruning"
+    _rank_identical(engine, oracle, "математика", k=5)
+    _rank_identical(engine, oracle, "математика", k=50)
+
+
+def test_suggest(built):
+    _, engine, oracle = built
+    got = engine.suggest("мате", 10)
+    want = sorted(t for t in oracle.postings if t.startswith("мате"))[:10]
+    assert got == want
