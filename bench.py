@@ -1,0 +1,132 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Runs the engine's headline workload at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32):
+
+* index_build  — full pipeline over `documents` as the pages corpus
+                 (extract → tokenize → postings → dictionary →
+                 compressed blocks, all persisted) — the north-rule
+                 docs/sec metric.
+* q_*          — BM25 single-term / boolean / phrase top-k, analytics
+                 (zipf), dedup (minhash-LSH), ANN (brute cosine top-k).
+
+Output: {"metric": "index_docs_per_sec", "value": N, "unit": "sec",
+"queries": {name: seconds}, "sf": dir, ...}.
+
+Scaling-efficiency evidence (north_rule N→4N): run twice —
+SPARK_GRAFT_CPUS=8 then 32 — via scripts/scaling_bench.py, which
+records both throughputs and their efficiency into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query_eval import SearchEngine
+    from search_engine_spark.session import build_session
+
+    spark = build_session(cpus=cpus, shuffle_partitions=max(cpus, 8),
+                          app_name="search_engine_bench")
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pages = docs.select(
+        F.format_string("doc://%09d", F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        "lang",
+    )
+    n_docs = pages.count()
+
+    cfg = EngineConfig(index_partitions=max(cpus, 8))
+    idx_dir = tempfile.mkdtemp(prefix="se_bench_idx_")
+    timings: dict = {}
+    try:
+        t0 = time.time()
+        build_index(spark, pages, idx_dir, cfg=cfg, resume=False)
+        build_s = time.time() - t0
+        timings["index_build"] = round(build_s, 3)
+
+        eng = SearchEngine(spark, idx_dir)
+        # warm the caches once so query timings measure the query path
+        eng.docmeta.count()
+        eng.blocks.count()
+
+        def bench(name: str, fn) -> None:
+            t = time.time()
+            fn()
+            timings[name] = round(time.time() - t, 3)
+
+        bench("q_term", lambda: eng.search("join", 10).collect())
+        bench("q_and", lambda: eng.search("join && fast", 10).collect())
+        bench("q_or", lambda: eng.search("slow || vector", 10).collect())
+        bench("q_not", lambda: eng.search("join && !fast", 10).collect())
+        bench("q_phrase", lambda: eng.search('"table scan"', 10).collect())
+        bench(
+            "q_mlt", lambda: eng.more_like_this(0, 10).collect()
+        )
+
+        from search_engine_spark.operators.analytics import (
+            zipf_fit,
+            zipf_rank_table,
+        )
+
+        freqs = eng.dictionary.select(
+            "term", F.col("cf").cast("long").alias("freq")
+        )
+        bench("q_zipf", lambda: zipf_fit(zipf_rank_table(freqs)).collect())
+
+        from search_engine_spark.operators.dedup import minhash_lsh_pairs
+
+        bench(
+            "q_dedup_minhash",
+            lambda: minhash_lsh_pairs(docs, threshold=0.8).count(),
+        )
+
+        from search_engine_spark.operators.similarity import cosine_topk
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+        bench(
+            "q_ann",
+            lambda: cosine_topk(emb, qv, 10, exclude_id=0).collect(),
+        )
+
+        docs_per_sec = n_docs / build_s if build_s else 0.0
+        print(
+            json.dumps(
+                {
+                    "metric": "index_docs_per_sec",
+                    "value": round(docs_per_sec, 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf_dir,
+                    "n_docs": n_docs,
+                    "cpus": cpus,
+                    "total_query_sec": round(
+                        sum(v for k, v in timings.items() if k.startswith("q_")),
+                        3,
+                    ),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

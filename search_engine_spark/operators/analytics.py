@@ -1,0 +1,203 @@
+"""Corpus analytics: Zipf law, entropy, Gini, coverage, vocabulary growth.
+
+Re-expresses the reference's Zipf module (``src/zipf_analysis/
+zipf_analyzer.py`` Z1-Z6 and ``statistics_calculator.py`` Z7-Z10,
+SURVEY.md §2.7) as Spark aggregates over the term-frequency table.
+
+Design for scale: the only Python is the tokenizer UDF that produces the
+term table; every statistic below is a JVM-side aggregate (partial+final
+hash agg, whole-stage codegen). Global rank assignment (Z2) is a window
+over the *dictionary* (vocabulary-sized, millions of rows at 100 TB, not
+corpus-sized), which a single `orderBy` handles; the heavy corpus-sized
+work all happens in the one groupBy that builds the dictionary.
+
+Frequency ties are broken by term ascending everywhere so ranks are
+deterministic (the reference's Python ``Counter.most_common`` order is
+insertion-dependent; we pin it down).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from search_engine_spark.config import DEFAULT_CONFIG, EngineConfig
+from search_engine_spark.functions.tokenizer import tokenize_series
+
+_TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tokens", T.ArrayType(T.StringType()), False),
+    ]
+)
+
+
+def tokens_df(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(doc_id, tokens array) via the byte-exact tokenizer (T1), one
+    vectorized Arrow pass; everything downstream stays JVM-side."""
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "tokens": tokenize_series(pdf["text"], cfg),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(fn, schema=_TOKENS_SCHEMA)
+
+
+def term_freq(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Z1: (term, freq) — collection frequency, freq desc / term asc."""
+    return (
+        tokens_df(docs, cfg)
+        .select(F.explode("tokens").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+    )
+
+
+def zipf_rank_table(freqs: DataFrame) -> DataFrame:
+    """Z2: (rank, term, freq); rank over (freq desc, term asc).
+
+    The window is vocabulary-sized — fine up to hundreds of millions of
+    terms; beyond that swap for the two-pass range-partition ordinal
+    trick used for doc_id assignment (index_build.assign_doc_ids).
+    """
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    return freqs.select(
+        F.row_number().over(w).cast("long").alias("rank"), "term", "freq"
+    )
+
+
+def zipf_fit(ranked: DataFrame) -> DataFrame:
+    """Z3+Z4: log-log OLS fit freq ≈ C / rank^s → one row (c, s, r2).
+
+    Closed-form least squares via Spark's regr_* aggregates (a single
+    partial+final agg pass; no driver-side math beyond exp)."""
+    fitted = ranked.select(
+        F.log("rank").alias("x"), F.log("freq").alias("y")
+    ).agg(
+        F.regr_slope("y", "x").alias("slope"),
+        F.regr_intercept("y", "x").alias("intercept"),
+        F.regr_r2("y", "x").alias("r2"),
+    )
+    return fitted.select(
+        F.exp("intercept").alias("c"),
+        (-F.col("slope")).alias("s"),
+        F.col("r2").alias("r2"),
+    )
+
+
+def distribution_stats(freqs: DataFrame) -> DataFrame:
+    """Z5: one-row distribution summary of term frequencies."""
+    return freqs.agg(
+        F.sum("freq").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("unique_terms"),
+        F.max("freq").cast("long").alias("max_freq"),
+        F.min("freq").cast("long").alias("min_freq"),
+        F.avg("freq").alias("mean_freq"),
+        F.median("freq").alias("median_freq"),
+        F.stddev_pop("freq").alias("std_freq"),
+    )
+
+
+def coverage(ranked: DataFrame, tops: tuple = (10, 100)) -> DataFrame:
+    """Z5b: fraction of all tokens covered by the top-n terms."""
+    aggs = [F.sum("freq").alias("total")]
+    for n in tops:
+        aggs.append(
+            F.sum(F.when(F.col("rank") <= n, F.col("freq")).otherwise(0)).alias(
+                f"_top{n}"
+            )
+        )
+    row = ranked.agg(*aggs)
+    cols = [
+        (F.col(f"_top{n}") / F.col("total")).alias(f"top{n}_coverage")
+        for n in tops
+    ]
+    return row.select(*cols)
+
+
+def vocabulary_growth(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
+                      points: int = 100) -> DataFrame:
+    """Z6: (doc_rank, cum_tokens, vocab_size) growth curve, first
+    `points` documents in doc_id order.
+
+    The reference walks docs sequentially (zipf_analyzer.py:202-220);
+    cumulative vocab size is inherently sequential, so we bound it to
+    the first `points` docs (driver-sized) and compute exactly."""
+    toks = tokens_df(docs, cfg).orderBy("doc_id").limit(points).collect()
+    seen: set = set()
+    cum = 0
+    rows = []
+    for i, r in enumerate(toks, start=1):
+        cum += len(r["tokens"])
+        seen.update(r["tokens"])
+        rows.append((i, cum, len(seen)))
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        rows, "doc_rank long, cum_tokens long, vocab_size long"
+    )
+
+
+def entropy(freqs: DataFrame) -> DataFrame:
+    """Z7: Shannon entropy (bits) of the term distribution — one row."""
+    tot = freqs.agg(F.sum("freq")).collect()[0][0]
+    p = F.col("freq") / F.lit(float(tot))
+    return freqs.agg((-F.sum(p * F.log2(p))).alias("entropy"))
+
+
+def gini(freqs: DataFrame) -> DataFrame:
+    """Z8: Gini coefficient over term frequencies (freq asc order),
+    G = Σ(2i − n − 1)·f_i / (n·Σf)  — statistics_calculator.py:35-61.
+
+    Two passes: a scalar agg for (n, total), then a vocabulary-sized
+    window + agg."""
+    n, tot = freqs.agg(F.count("*"), F.sum("freq")).collect()[0]
+    w = Window.orderBy(F.asc("freq"), F.asc("term"))
+    ranked = freqs.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        (
+            F.sum((2.0 * F.col("i") - F.lit(float(n)) - 1.0) * F.col("freq"))
+            / F.lit(float(n) * float(tot))
+        ).alias("gini")
+    )
+
+
+def zipf_mandelbrot_expected(ranked: DataFrame, a: float, b: float) -> DataFrame:
+    """Z9: expected frequency total/(rank+b)^a per rank — column expr."""
+    tot = ranked.agg(F.sum("freq")).collect()[0][0]
+    return ranked.select(
+        "rank",
+        "term",
+        "freq",
+        (F.lit(float(tot)) / F.pow(F.col("rank") + F.lit(b), F.lit(a))).alias(
+            "expected_freq"
+        ),
+    )
+
+
+def heaps_law(total_tokens: int, k: float = 10.0, beta: float = 0.5) -> float:
+    """Z10: expected vocabulary size k·N^β (scalar, driver-side)."""
+    return k * (total_tokens ** beta)
+
+
+def per_group_stats(docs: DataFrame, group_col: str) -> DataFrame:
+    """Z11/Z12: per-group doc counts + content-length stats (the
+    reference's Mongo $group pipelines, database_handler.py:283-326)."""
+    return (
+        docs.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("sum_chars"),
+            F.avg(F.length("text")).alias("avg_chars"),
+        )
+        .orderBy(group_col)
+    )

@@ -1,0 +1,527 @@
+"""Deduplication operators for web-scale training-data curation.
+
+Five candidate-generation strategies, one exactness contract: every
+near-dup operator returns pairs whose *exact* n-gram Jaccard similarity
+meets the threshold. Candidate generation differs (that is where the
+scale behavior lives); a final exact verification join makes the output
+independent of the generator, so MinHash-LSH / SimHash results are
+bit-identical to the brute-force shingle-join path whenever recall holds
+(probabilistically ~1 at the thresholds used; the gap in real web data
+between planted dups (J≥0.9) and background (J≈0.05) is exactly why
+LSH works).
+
+Scale design:
+* ``ngram_jaccard_pairs`` — the "brute force" here is already the
+  scalable inverted shingle join (pairs only materialize for docs
+  sharing a shingle), NOT a cartesian product. Ubiquitous shingles are
+  the skew hazard → ``max_shingle_df`` drops shingles shared by more
+  than that many docs (standard practice: they carry no dedup signal
+  and quadratically blow up the join).
+* ``minhash_lsh_pairs`` — 1 Arrow pass for signatures (numpy, vectorized
+  64-bit multiply-shift hashing), band-bucket groupBy, exact verify.
+  Candidate volume is O(collisions), never O(n²).
+* ``simhash_pairs`` — 64-bit simhash; pigeonhole banding (k+1 chunks
+  catch all pairs within hamming k), JVM popcount check via
+  ``bit_count(a ^ b)``, then the same exact verification.
+* ``embedding_near_dup_pairs`` — normalized-vector dot products; exact
+  per-bucket (LSH hyperplane bucketing) or exact-small (block cross
+  join) depending on n.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from search_engine_spark.operators.textstats import shingles_col
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact content dedup by md5(text): one hash-groupBy shuffle.
+    Returns (content_hash, n_copies, keep_id) — keep_id = min id."""
+    return (
+        docs.select(
+            F.md5(F.encode(F.col(text_col), "utf-8")).alias("content_hash"),
+            F.col(id_col),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def drop_exact_dups(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative of each exact-duplicate group."""
+    keep = exact_dedup(docs, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return docs.join(keep, id_col, "inner")
+
+
+# ---------------------------------------------------------------------------
+# shingle table + exact Jaccard verification (shared by all near-dup ops)
+# ---------------------------------------------------------------------------
+
+
+def shingle_table(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id, shingle) distinct — the inverted file over n-gram shingles."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def _jaccard_from_shingles(sh: DataFrame, threshold: float,
+                           max_shingle_df: int | None) -> DataFrame:
+    """Exact pairwise Jaccard via inverted shingle self-join."""
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .count()
+            .filter(F.col("count") <= max_shingle_df)
+            .select("shingle")
+        )
+        joinable = sh.join(rare, "shingle")
+    else:
+        joinable = sh
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = joinable.alias("a")
+    b = joinable.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+             ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """Exact near-dup pairs (id_a < id_b, jaccard ≥ threshold) over
+    word n-gram shingles. The shuffle is the shingle equi-join —
+    linear in shingle postings, not quadratic in docs."""
+    sh = shingle_table(docs, n, id_col, text_col)
+    return _jaccard_from_shingles(sh, threshold, max_shingle_df)
+
+
+def _verify_pairs(candidates: DataFrame, sh: DataFrame,
+                  threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs."""
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        candidates.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+             ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(num_hashes: int, seed: int) -> tuple:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def _base_hash(shingle: str) -> int:
+    """Stable 61-bit base hash from md5 (reproducible across runs)."""
+    d = hashlib.md5(shingle.encode("utf-8")).digest()
+    return struct.unpack("<Q", d[:8])[0] & _MERSENNE
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 128,
+                       seed: int = 7, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, sig array<long>) — one vectorized Arrow pass per doc batch.
+
+    h_i(s) = (a_i·base(s) + b_i) mod 2^61−1, base = md5-derived; the
+    whole (num_hashes × shingles) table computes as one numpy outer op
+    per document (uint64 wraparound is fine for min-stability as long
+    as it is applied identically everywhere — we keep exact mod-p
+    arithmetic via Python ints packed in object arrays is too slow, so
+    we use float-free 128-bit-safe numpy: split multiply)."""
+    a, b = _hash_params(num_hashes, seed)
+
+    def sig_of(shingles: list) -> np.ndarray:
+        if not shingles:
+            return np.full(num_hashes, _MERSENNE, dtype=np.int64)
+        base = np.fromiter(
+            (_base_hash(s) for s in shingles), dtype=np.int64, count=len(shingles)
+        )
+        # exact (a*base + b) mod p without overflow: use object→int128 via
+        # numpy's 64x64→128 trick: split base into hi/lo 32-bit halves.
+        lo = base & 0xFFFFFFFF
+        hi = base >> 32
+        out = np.empty((num_hashes, len(base)), dtype=np.uint64)
+        au = a.astype(np.uint64)
+        bu = b.astype(np.uint64)
+        p = np.uint64(_MERSENNE)
+        for i in range(num_hashes):
+            # (a*hi mod p) * 2^32 + a*lo, all mod p — still needs care:
+            t_hi = (au[i] * hi.astype(np.uint64)) % p
+            t_hi = (t_hi << np.uint64(32)) % p
+            t_lo = (au[i] * lo.astype(np.uint64)) % p
+            out[i] = (t_hi + t_lo + bu[i]) % p
+        return out.min(axis=1).astype(np.int64)
+
+    sh_docs = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_col(F.col(text_col), n)).alias("shingles"),
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("sig", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = [sig_of(list(s)) for s in pdf["shingles"]]
+            yield pd.DataFrame({"id": pdf["id"], "sig": sigs})
+
+    return sh_docs.mapInPandas(fn, schema=schema)
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
+                      num_hashes: int = 128, bands: int = 32, seed: int = 7,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact-Jaccard verification.
+
+    bands=32 × rows=4 at 128 hashes → P(candidate | J=0.8) ≈
+    1−(1−0.8⁴)³² ≈ 1−6e-7: recall ~1 at the threshold. Candidates =
+    band-bucket groupBy (shuffle keyed on (band, bucket-hash)); the
+    verification join is restricted to candidates only."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, n, num_hashes, seed, id_col, text_col)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), bi * rows + 1, rows),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = shingle_table(docs, n, id_col, text_col)
+    return _verify_pairs(candidates, sh, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text", chunks: int = 1) -> DataFrame:
+    """(id, simhash long, chunks array<long>) — 64-bit simhash over
+    n-gram shingle hashes, one Arrow pass (numpy bit-unpack + column
+    sum). ``chunks`` pigeonhole keys (the i-th ``64//chunks``-bit slice)
+    are emitted alongside for LSH-style banding."""
+    sh_docs = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_col(F.col(text_col), n)).alias("shingles"),
+    )
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("simhash", T.LongType(), False),
+            T.StructField("chunks", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def sim_of(shingles: list) -> int:
+        if not shingles:
+            return 0
+        hs = np.fromiter(
+            (
+                struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
+                for s in shingles
+            ),
+            dtype=np.uint64,
+            count=len(shingles),
+        )
+        bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1,
+                             bitorder="little")
+        votes = bits.sum(axis=0) * 2 >= len(hs)
+        packed = np.packbits(votes.astype(np.uint8), bitorder="little")
+        return int(np.int64(packed.view(np.uint64)[0]))
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [sim_of(list(s)) for s in pdf["shingles"]]
+            def _signed(k: int) -> int:
+                return k if k < (1 << 63) else k - (1 << 64)
+
+            keys = [
+                [_signed((v >> (ci * width)) & mask) for ci in range(chunks)]
+                for v in (s & 0xFFFFFFFFFFFFFFFF for s in out)
+            ]
+            yield pd.DataFrame(
+                {"id": pdf["id"], "simhash": out, "chunks": keys}
+            )
+
+    return sh_docs.mapInPandas(fn, schema=schema)
+
+
+def simhash_pairs(docs: DataFrame, n: int = 3, hamming_k: int = 6,
+                  jaccard_threshold: float | None = 0.8,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole banding on (k+1)-way 64-bit
+    chunking guarantees every pair within hamming ≤ k collides in at
+    least one chunk; JVM bit_count(xor) filters candidates; optional
+    exact-Jaccard verification pins the output to the shared contract."""
+    chunks = hamming_k + 1
+    sigs = simhash_signatures(docs, n, id_col, text_col, chunks=chunks)
+    banded = sigs.select(
+        "id", "simhash", F.posexplode("chunks").alias("chunk", "key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_k)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if jaccard_threshold is None:
+        return candidates
+    sh = shingle_table(docs, n, id_col, text_col)
+    return _verify_pairs(candidates, sh, jaccard_threshold)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _unit_matrix(rows, id_col: str, vec_col: str):
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0] = 1.0
+    return ids, mat / norms[:, None]
+
+
+def embedding_pairs_exact(emb: DataFrame, threshold: float | None = None,
+                          top_pairs: int | None = None,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Exact all-pairs cosine: broadcast one (small) side, stream the
+    other through a numpy gram-matrix mapInPandas — a distributed block
+    nested-loop usable while one side fits an executor (≤ ~10⁶×d
+    floats); above that use ``embedding_pairs_lsh``. Returns
+    (id_a, id_b, cos) with id_a < id_b, filtered by threshold and/or
+    truncated to the global top `top_pairs` (TakeOrdered)."""
+    bc = emb.sparkSession.sparkContext.broadcast(
+        _unit_matrix(emb.select(id_col, vec_col).collect(), id_col, vec_col)
+    )
+    thr = -2.0 if threshold is None else float(threshold)
+
+    pair_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cos", T.DoubleType(), False),
+        ]
+    )
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_unit = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            nrm[nrm == 0] = 1.0
+            unit = mat / nrm[:, None]
+            ids = pdf[id_col].to_numpy()
+            sims = unit @ all_unit.T  # (batch × all)
+            # emit only id_row < id_col to halve output and dedup pairs
+            mask = (ids[:, None] < all_ids[None, :]) & (sims >= thr)
+            ra, ca = np.nonzero(mask)
+            if len(ra):
+                yield pd.DataFrame(
+                    {
+                        "id_a": ids[ra],
+                        "id_b": all_ids[ca],
+                        "cos": sims[ra, ca],
+                    }
+                )
+
+    pairs = emb.select(id_col, vec_col).mapInPandas(fn, schema=pair_schema)
+    if top_pairs is not None:
+        pairs = pairs.orderBy(
+            F.desc("cos"), F.asc("id_a"), F.asc("id_b")
+        ).limit(top_pairs)
+    return pairs
+
+
+def embedding_pairs_lsh(emb: DataFrame, threshold: float = 0.9,
+                        planes: int = 16, tables: int = 8, seed: int = 11,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Scale path: random-hyperplane LSH bucketing + exact in-bucket
+    cosine. P(same bucket | cos=c) = (1−acos(c)/π)^planes per table;
+    `tables` independent tables drive recall up. Shuffle = bucket
+    groupBy; per-bucket work is a numpy gram matrix."""
+    first = emb.select(vec_col).first()
+    dim = len(first[vec_col])
+    rng = np.random.RandomState(seed)
+    hyper = rng.normal(size=(tables, planes, dim))
+
+    sig_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("table", T.IntegerType(), False),
+            T.StructField("bucket", T.LongType(), False),
+            T.StructField("vec", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+
+    def sig_fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pows = (1 << np.arange(planes, dtype=np.int64))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            nrm[nrm == 0] = 1.0
+            unit = mat / nrm[:, None]
+            outs = []
+            for t in range(tables):
+                proj = unit @ hyper[t].T > 0
+                buckets = (proj.astype(np.int64) * pows).sum(axis=1)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id": pdf[id_col].to_numpy(),
+                            "table": np.full(len(pdf), t, dtype=np.int32),
+                            "bucket": buckets,
+                            "vec": list(unit),
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    sigs = emb.select(id_col, vec_col).mapInPandas(sig_fn, schema=sig_schema)
+
+    pair_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cos", T.DoubleType(), False),
+        ]
+    )
+
+    def bucket_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cos": np.float64}
+            )
+        ids = pdf["id"].to_numpy()
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        sims = mat @ mat.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": sims[ia, ib][keep]})
+
+    pairs = sigs.groupBy("table", "bucket").applyInPandas(
+        bucket_fn, schema=pair_schema
+    )
+    return pairs.groupBy("id_a", "id_b").agg(F.max("cos").alias("cos"))
