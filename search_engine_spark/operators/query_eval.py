@@ -349,6 +349,60 @@ class SearchEngine:
         )
         return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    # -- V14: snippet generation ------------------------------------------
+    def search_with_snippets(
+        self, query: str, k: Optional[int] = None, context_words: int = 5
+    ) -> DataFrame:
+        """Top-k with highlighted snippets (boolean_search.cpp:310-396):
+        tokenize the hit's text, find the first query-term match, emit a
+        ±context_words token window with ``[term]`` highlighting and
+        ellipses. Runs only over the k hit rows (k is tiny), as one
+        Arrow batch joined against docmeta's stored text."""
+        from search_engine_spark.functions.tokenizer import tokenize_text
+
+        ast = qp.parse(query)
+        terms = set(qp.extract_terms(ast)) if ast is not None else set()
+        cfg = self.cfg
+        hits = self.search(query, k, with_meta=True)
+        with_text = hits.join(
+            F.broadcast(self.docmeta.select("doc_id", "text")), "doc_id", "left"
+        )
+
+        out_schema = T.StructType(
+            list(with_text.schema.fields)[:-1]  # drop text
+            + [T.StructField("snippet", T.StringType(), True)]
+        )
+
+        def make_snippet(text: Optional[str]) -> str:
+            toks = tokenize_text(text or "", cfg)
+            # raw display tokens (whitespace split) aligned by best effort:
+            # the reference re-tokenizes and highlights normalized tokens
+            hit_at = next(
+                (i for i, t in enumerate(toks) if t in terms), None
+            )
+            if hit_at is None:
+                window = toks[: 2 * context_words + 1]
+                lo_ell, hi_ell = False, len(toks) > len(window)
+                lo = 0
+            else:
+                lo = max(0, hit_at - context_words)
+                hi = min(len(toks), hit_at + context_words + 1)
+                window = toks[lo:hi]
+                lo_ell, hi_ell = lo > 0, hi < len(toks)
+            shown = [f"[{t}]" if t in terms else t for t in window]
+            body = " ".join(shown)
+            return ("... " if lo_ell else "") + body + (" ..." if hi_ell else "")
+
+        def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["snippet"] = [make_snippet(t) for t in pdf["text"]]
+                yield pdf.drop(columns=["text"])
+
+        return with_text.mapInPandas(fn, schema=out_schema).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+
     # -- V15: search statistics -------------------------------------------
     def stats_summary(self) -> dict:
         lat = sorted(q["wall_ms"] for q in self.query_log)

@@ -1,0 +1,300 @@
+"""Incremental (streaming) index ingestion — Structured Streaming.
+
+The reference's only "incremental" mechanism is the crawler's JSON
+checkpoint (``src/crawler/url_manager.py:197-251``); its report lists an
+incremental-update CLI as future work (``report/main.tex:1138``). This
+module provides the real thing, Lucene-segment style:
+
+* ``IncrementalIndexer`` — ``readStream`` over a landing directory of
+  `pages` parquet files → ``foreachBatch``: each micro-batch is
+  extracted, tokenized, and appended as a **segment** (docmeta rows +
+  postings rows tagged with ``segment_id``). Doc ids continue from a
+  high-water mark persisted in the manifest; Structured Streaming's
+  checkpoint guarantees each input file lands in exactly one epoch, so
+  restarts neither skip nor double-index (epoch replays overwrite their
+  own segment directory — idempotent).
+* ``search`` — BM25 over the accumulated segments as a pure relational
+  plan (the compressed-block path is the batch engine's job).
+* ``compact`` — fold all segments through the batch block builder into
+  a normal ``IndexStore`` index (the segment → base-index merge).
+* ``streaming_term_counts`` — watermarked sliding-window term counts
+  (the streaming analytics shape: explode → window agg with late-data
+  handling).
+
+At scale: each epoch's shuffle is bounded by the micro-batch, the
+segment append is partitioned by term hash like the batch build, and
+compaction is the same shuffle-merge the batch path uses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from search_engine_spark.config import DEFAULT_CONFIG, EngineConfig
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+class IncrementalIndexer:
+    """Segment-appending streaming indexer over a landing directory."""
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cfg: EngineConfig = DEFAULT_CONFIG):
+        self.spark = spark
+        self.cfg = cfg
+        self.dir = index_dir
+        os.makedirs(index_dir, exist_ok=True)
+
+    # -- watermark bookkeeping -----------------------------------------
+    @property
+    def _state_path(self) -> str:
+        return os.path.join(self.dir, "stream_state.json")
+
+    def _read_state(self) -> dict:
+        if os.path.exists(self._state_path):
+            with open(self._state_path) as f:
+                return json.load(f)
+        return {"next_doc_id": 0, "segments": []}
+
+    def _write_state(self, st: dict) -> None:
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(st, f, indent=1)
+        os.replace(tmp, self._state_path)
+
+    # -- the foreachBatch body -------------------------------------------
+    def _process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from search_engine_spark.operators.index_build import (
+            build_postings,
+            dedup_pages,
+            _extract_map,
+        )
+
+        st = self._read_state()
+        seg = f"seg_{epoch_id:06d}"
+        if seg in st["segments"]:
+            return  # replayed epoch, already fully committed
+        extract_schema = T.StructType(
+            [
+                T.StructField("url", T.StringType(), False),
+                T.StructField("title", T.StringType(), True),
+                T.StructField("text", T.StringType(), True),
+                T.StructField("lang", T.StringType(), True),
+            ]
+        )
+        deduped = dedup_pages(batch)
+        if st["segments"]:
+            # cross-segment dedup: first writer wins across epochs too
+            seen = self.docmeta().select("url")
+            deduped = deduped.join(seen, "url", "left_anti")
+        extracted = (
+            deduped
+            .mapInPandas(_extract_map(self.cfg), schema=extract_schema)
+            .orderBy("url")  # deterministic intra-batch id order
+            # micro-batches are bounded (maxFilesPerTrigger), so a single
+            # partition for id assignment is fine; a huge backfill epoch
+            # would use index_build.assign_doc_ids' two-pass offsets.
+            .coalesce(1)
+            .withColumn(
+                "doc_id",
+                F.monotonically_increasing_id() + F.lit(st["next_doc_id"]),
+            )
+        )
+        docs = extracted.select("doc_id", "url", "title", "lang", "text")
+        docs.persist()
+        n = docs.count()
+        postings = build_postings(docs, self.cfg)
+        seg_dir = os.path.join(self.dir, "segments", seg)
+        # overwrite → idempotent on epoch replay after a crash
+        postings.write.mode("overwrite").parquet(
+            os.path.join(seg_dir, "postings")
+        )
+        stats = postings.groupBy("doc_id").agg(
+            F.sum("tf").alias("doc_len"),
+            F.count("*").alias("unique_terms"),
+        )
+        docs.join(stats, "doc_id", "left").select(
+            "doc_id", "url", "title", "lang",
+            F.coalesce("doc_len", F.lit(0)).cast("long").alias("doc_len"),
+            F.coalesce("unique_terms", F.lit(0)).cast("long").alias(
+                "unique_terms"
+            ),
+            "text",
+        ).write.mode("overwrite").parquet(os.path.join(seg_dir, "docmeta"))
+        docs.unpersist()
+        st["next_doc_id"] += int(n)
+        st["segments"].append(seg)
+        self._write_state(st)
+
+    # -- public API -------------------------------------------------------
+    def start(self, landing_dir: str, checkpoint_dir: Optional[str] = None,
+              available_now: bool = True):
+        """Start the ingestion stream; availableNow drains the landing
+        directory and stops (the batch-catchup trigger)."""
+        ckpt = checkpoint_dir or os.path.join(self.dir, "_checkpoint")
+        stream = (
+            self.spark.readStream.schema(PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(landing_dir)
+        )
+        writer = (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", ckpt)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def docmeta(self) -> DataFrame:
+        segs = self._read_state()["segments"]
+        paths = [os.path.join(self.dir, "segments", s, "docmeta") for s in segs]
+        return self.spark.read.parquet(*paths)
+
+    def postings(self) -> DataFrame:
+        segs = self._read_state()["segments"]
+        paths = [os.path.join(self.dir, "segments", s, "postings") for s in segs]
+        return self.spark.read.parquet(*paths)
+
+    def search(self, term: str, k: int = 10) -> DataFrame:
+        """BM25 top-k over all segments — relational expression (the
+        same closed form as SearchEngine.more_like_this)."""
+        postings = self.postings()
+        meta = self.docmeta()
+        agg = meta.agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        n, avgdl = float(agg["n"]), float(agg["avgdl"] or 1.0)
+        k1, b = self.cfg.k1, self.cfg.b
+        hits = postings.filter(F.col("term") == term)
+        dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
+        scored = hits.join(F.broadcast(dfreq), "term").select(
+            "doc_id",
+            (
+                F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * (
+                    F.col("tf")
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (1.0 - b + F.lit(b) * F.col("doc_len") / F.lit(avgdl))
+                    )
+                )
+            ).alias("score"),
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def compact(self, out_dir: str):
+        """Merge all segments into a batch IndexStore (blocks + dict)."""
+        from search_engine_spark.operators.index_build import (
+            build_blocks,
+            build_dictionary,
+        )
+        from search_engine_spark.sources.index_store import IndexStore
+
+        import time
+
+        store = IndexStore(out_dir)
+        postings = self.postings()
+        meta = self.docmeta()
+        t0 = time.time()
+        store.write_stage("docs", meta.drop("doc_len", "unique_terms"), t0)
+        store.write_stage("postings", postings, t0)
+        store.write_stage("docmeta", meta, t0)
+        dictionary = build_dictionary(postings)
+        store.write_stage("dictionary", dictionary, t0)
+        agg = meta.agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        n_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 1.0)
+        store.write_stage(
+            "blocks",
+            build_blocks(postings, dictionary, self.cfg, n_docs, avgdl),
+            t0,
+        )
+        store.write_meta(
+            {
+                "config": self.cfg.to_dict(),
+                "n_docs": n_docs,
+                "avgdl": avgdl,
+                "stats": {},
+                "timings": {"compact_s": round(time.time() - t0, 3)},
+            }
+        )
+        return store
+
+
+def streaming_term_counts(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    slide: Optional[str] = None,
+    watermark: str = "2 hours",
+    cfg: EngineConfig = DEFAULT_CONFIG,
+):
+    """Watermarked windowed term counts over streaming pages: the
+    standard late-data-tolerant streaming aggregation (append mode →
+    only closed windows are emitted)."""
+    from search_engine_spark.operators.analytics import tokens_df
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA).parquet(landing_dir)
+        .withColumn("doc_id", F.lit(0).cast("long"))  # tokens_df contract
+    )
+    toks_schema = T.StructType(
+        [
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("term", T.StringType(), False),
+        ]
+    )
+    import pandas as pd
+
+    from search_engine_spark.functions.tokenizer import tokenize_text
+
+    def fn(batches):
+        for pdf in batches:
+            rows_ts, rows_t = [], []
+            for ts, text in zip(pdf["warc_ts"], pdf["text"]):
+                for t in tokenize_text(text or "", cfg):
+                    rows_ts.append(ts)
+                    rows_t.append(t)
+            yield pd.DataFrame({"warc_ts": rows_ts, "term": rows_t})
+
+    toks = stream.select("warc_ts", "text").mapInPandas(fn, schema=toks_schema)
+    win = F.window("warc_ts", window, slide) if slide else F.window(
+        "warc_ts", window
+    )
+    counts = (
+        toks.withWatermark("warc_ts", watermark)
+        .groupBy(win.alias("w"), "term")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "term",
+            "freq",
+        )
+    )
+    return (
+        counts.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

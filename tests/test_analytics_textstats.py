@@ -1,0 +1,181 @@
+"""Analytics (Zipf/entropy/Gini) + textstats + multimodal tests."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "aa aa aa aa bb bb cc dd"),
+        (1, "aa bb bb cc cc cc dd ee"),
+        (2, "aa aa bb cc dd ee ff gg"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _freqs(spark, docs):
+    from search_engine_spark.operators.analytics import term_freq
+
+    return term_freq(docs)
+
+
+def test_term_freq_and_rank(spark, docs):
+    from search_engine_spark.operators.analytics import term_freq, zipf_rank_table
+
+    freqs = {r["term"]: r["freq"] for r in term_freq(docs).collect()}
+    assert freqs == {"aa": 7, "bb": 5, "cc": 5, "dd": 3, "ee": 2, "ff": 1,
+                     "gg": 1}
+    ranked = zipf_rank_table(term_freq(docs)).collect()
+    assert [(r["rank"], r["term"]) for r in ranked[:3]] == [
+        (1, "aa"), (2, "bb"), (3, "cc")  # freq desc, term asc tie-break
+    ]
+
+
+def test_entropy_gini_coverage(spark, docs):
+    from search_engine_spark.operators.analytics import (
+        coverage,
+        entropy,
+        gini,
+        term_freq,
+        zipf_rank_table,
+    )
+
+    freqs = term_freq(docs)
+    counts = [r["freq"] for r in freqs.collect()]
+    tot = sum(counts)
+    want_h = -sum(c / tot * math.log2(c / tot) for c in counts)
+    got_h = entropy(freqs).collect()[0]["entropy"]
+    assert got_h == pytest.approx(want_h)
+
+    # Gini against the direct formula (freq asc, term asc)
+    rows = sorted(freqs.collect(), key=lambda r: (r["freq"], r["term"]))
+    n = len(rows)
+    want_g = sum((2 * (i + 1) - n - 1) * r["freq"] for i, r in enumerate(rows))
+    want_g /= n * tot
+    got_g = gini(freqs).collect()[0]["gini"]
+    assert got_g == pytest.approx(want_g)
+
+    cov = coverage(zipf_rank_table(freqs)).collect()[0]
+    assert cov["top10_coverage"] == pytest.approx(1.0)  # only 7 terms
+
+
+def test_zipf_fit_on_exact_power_law(spark):
+    from search_engine_spark.operators.analytics import zipf_fit
+
+    # freq = 1000 / rank^1.2 exactly → fit must recover (C, s), R²=1
+    rows = [(f"t{r:03d}", float(1000.0 / r ** 1.2)) for r in range(1, 51)]
+    freqs = spark.createDataFrame(rows, "term string, freq double")
+    from search_engine_spark.operators.analytics import zipf_rank_table
+
+    fit = zipf_fit(zipf_rank_table(freqs)).collect()[0]
+    assert fit["s"] == pytest.approx(1.2, rel=1e-9)
+    assert fit["c"] == pytest.approx(1000.0, rel=1e-9)
+    assert fit["r2"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_vocabulary_growth(spark, docs):
+    from search_engine_spark.operators.analytics import vocabulary_growth
+
+    rows = vocabulary_growth(docs).collect()
+    assert [r["doc_rank"] for r in rows] == [1, 2, 3]
+    assert rows[0]["cum_tokens"] == 8 and rows[0]["vocab_size"] == 4
+    assert rows[-1]["cum_tokens"] == 24 and rows[-1]["vocab_size"] == 7
+
+
+def test_language_id(spark):
+    from search_engine_spark.operators.textstats import language_id
+
+    rows = [
+        (0, "the cat sat on the mat and it was good"),
+        (1, "der hund ist nicht in das haus und der garten"),
+        (2, "le chat est dans la maison et les jardins"),
+        (3, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "und"}
+
+
+def test_quality_and_token_counts(spark):
+    from search_engine_spark.operators.textstats import (
+        quality_features,
+        token_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "hello world hello"), (1, "")], "doc_id long, text string"
+    )
+    q = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert q[0]["q_n_tokens"] == 3
+    assert q[0]["q_distinct_ratio"] == pytest.approx(2 / 3)
+    assert q[1]["q_n_tokens"] == 0 and q[1]["quality_score"] >= 0.0
+
+    t = {r["doc_id"]: r for r in token_counts(df).collect()}
+    assert t[0]["n_ws_tokens"] == 3
+    # "hello" → hell+o = 2 pieces; ×3 tokens minus... hello(2)+world(2)+hello(2)
+    assert t[0]["n_bpe_pieces"] == 6
+    assert t[1]["n_ws_tokens"] == 0 and t[1]["n_bpe_pieces"] == 0
+
+
+def test_fingerprint_stability(spark):
+    from search_engine_spark.operators.textstats import fingerprint
+
+    df = spark.createDataFrame(
+        [(0, "aa bb cc dd"), (1, "aa bb cc dd"), (2, "dd cc bb aa"),
+         (3, "xx yy")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    assert fp[0] == fp[1]          # identical text → identical fingerprint
+    assert fp[0] != fp[2]          # order matters (positional shingles)
+    assert len(fp[3]) == 32        # <3 tokens → md5(text) fallback
+
+
+def test_multimodal_metadata_and_stubs(spark):
+    from search_engine_spark.operators.multimodal import (
+        decode_image_features,
+        media_metadata,
+        sample_frames,
+    )
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+    jpg = b"\xff\xd8\xff\xe0" + b"\x01" * 32
+    rows = [(0, bytearray(png)), (1, bytearray(jpg)), (2, bytearray(b"hi"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    meta = {r["doc_id"]: r for r in media_metadata(df).collect()}
+    assert meta[0]["media_type"] == "image/png"
+    assert meta[1]["media_type"] == "image/jpeg"
+    assert meta[2]["media_type"] == "application/octet-stream"
+    assert meta[0]["n_bytes"] == len(png)
+    assert len(meta[0]["sha256"]) == 64
+
+    # real decode is stubbed
+    with pytest.raises(NotImplementedError):
+        decode_image_features(df).collect()
+    feats = decode_image_features(df, fake=True, side=4).collect()
+    assert len(feats) == 3
+    assert all(len(r["feature"]) == 4 for r in feats)
+    # deterministic: same payload → same features
+    again = decode_image_features(df, fake=True, side=4).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+
+    frames = sample_frames(df, n_frames=3, fake=True).collect()
+    assert len(frames) == 9
+    assert {r["frame_idx"] for r in frames} == {0, 1, 2}
+
+
+def test_per_group_stats(spark):
+    from search_engine_spark.operators.analytics import per_group_stats
+
+    df = spark.createDataFrame(
+        [(0, "aaaa", "en"), (1, "bb", "en"), (2, "cccccc", "de")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["lang"]: r for r in per_group_stats(df, "lang").collect()}
+    assert got["en"]["n_docs"] == 2 and got["en"]["sum_chars"] == 6
+    assert got["en"]["avg_chars"] == pytest.approx(3.0)
+    assert got["de"]["n_docs"] == 1

@@ -1,0 +1,157 @@
+"""Dedup + similarity operator tests (small deterministic corpora)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (0, base),
+        (1, base + " kilo"),                      # near-dup of 0
+        (2, base),                                # exact dup of 0
+        (3, "zulu yankee xray whiskey victor uniform tango sierra"),
+        (4, "one two three four five six seven eight nine ten"),
+        (5, "ten nine eight seven six five four three two one"),  # reversed
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def brute_jaccard(rows, n=3, threshold=0.5):
+    def shingles(text):
+        toks = [w for w in text.split() if 2 <= len(w) <= 50]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sh = {r[0]: shingles(r[1]) for r in rows}
+    out = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            u = sh[a] | sh[b]
+            if not u:
+                continue
+            j = len(sh[a] & sh[b]) / len(u)
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+def test_exact_dedup(spark, docs):
+    from search_engine_spark.operators.dedup import drop_exact_dups, exact_dedup
+
+    groups = {r["keep_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert groups[0] == 2  # docs 0 and 2 identical
+    kept = {r["doc_id"] for r in drop_exact_dups(docs).collect()}
+    assert kept == {0, 1, 3, 4, 5}
+
+
+def test_ngram_jaccard_matches_brute_force(spark, docs):
+    from search_engine_spark.operators.dedup import ngram_jaccard_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    want = brute_jaccard([(r["doc_id"], r["text"]) for r in docs.collect()])
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v)
+    # exact dup pair has jaccard exactly 1; reversed doc shares no 3-gram
+    assert got[(0, 2)] == 1.0
+    assert (4, 5) not in got
+
+
+def test_minhash_lsh_equals_ngram(spark, docs):
+    from search_engine_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    want = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert got == want
+
+
+def test_simhash_pairs_find_exact_dup(spark, docs):
+    from search_engine_spark.operators.dedup import simhash_pairs
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(docs, n=3, hamming_k=10,
+                               jaccard_threshold=0.8).collect()
+    }
+    assert (0, 2) in got  # identical text → hamming 0
+    assert (0, 1) in got and (1, 2) in got  # near-dups
+
+
+def test_embedding_pairs_and_topk(spark):
+    from search_engine_spark.operators.dedup import embedding_pairs_exact
+    from search_engine_spark.operators.similarity import cosine_topk
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(40, 16))
+    vecs[7] = vecs[3] + 0.01 * rng.normal(size=16)  # planted near-dup
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    top = embedding_pairs_exact(emb, top_pairs=1).collect()[0]
+    assert (top["id_a"], top["id_b"]) == (3, 7)
+    assert top["cos"] > 0.99
+
+    # brute-force top-k matches numpy
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit @ unit[3]
+    sims[3] = -2
+    want = list(np.argsort(-sims)[:5])
+    got = [
+        r["vec_id"]
+        for r in cosine_topk(emb, rows[3][1], k=5, exclude_id=3).collect()
+    ]
+    assert got == want
+
+
+def test_lsh_and_ivf_recall(spark):
+    from search_engine_spark.operators.similarity import IvfIndex, LshIndex
+
+    rng = np.random.RandomState(5)
+    vecs = rng.normal(size=(200, 16))
+    # plant a tight cluster near vec 0 so true neighbors are strong
+    for i in range(1, 6):
+        vecs[i] = vecs[0] + 0.05 * rng.normal(size=16)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    lsh = LshIndex(emb, planes=4, tables=8)
+    got = {r["vec_id"] for r in lsh.query(rows[0][1], k=5, probe_hamming=1,
+                                          exclude_id=0).collect()}
+    assert {1, 2, 3, 4, 5} == got
+
+    ivf = IvfIndex(emb, n_centroids=8)
+    got = {r["vec_id"] for r in ivf.query(rows[0][1], k=5, nprobe=4,
+                                          exclude_id=0).collect()}
+    assert {1, 2, 3, 4, 5} <= got | set(range(1, 6))
+    assert len(got) == 5
+
+
+def test_embedding_pairs_lsh_finds_planted(spark):
+    from search_engine_spark.operators.dedup import embedding_pairs_lsh
+
+    rng = np.random.RandomState(9)
+    vecs = rng.normal(size=(100, 16))
+    vecs[42] = vecs[17] + 0.01 * rng.normal(size=16)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_pairs_lsh(emb, threshold=0.95, planes=8,
+                                     tables=8).collect()
+    }
+    assert (17, 42) in got

@@ -158,3 +158,22 @@ def test_suggest(built):
     got = engine.suggest("мате", 10)
     want = sorted(t for t in oracle.postings if t.startswith("мате"))[:10]
     assert got == want
+
+
+def test_snippets(built):
+    _, engine, oracle = built
+    term = REFERENCE_QUERY_TERMS[0]
+    rows = engine.search_with_snippets(term, k=5).collect()
+    assert rows, "query must hit"
+    for r in rows:
+        assert f"[{term}]" in r["snippet"], r["snippet"]
+        # window bound: ±5 tokens + highlight + ellipses
+        assert len(r["snippet"].split()) <= 13
+
+
+def test_search_batch_tags_queries(built):
+    _, engine, _ = built
+    qs = [REFERENCE_QUERY_TERMS[0], REFERENCE_QUERY_TERMS[1]]
+    out = engine.search_batch(qs, k=3).collect()
+    tags = {r["query"] for r in out}
+    assert tags == set(qs)
