@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
-from typing import Iterable, Iterator
+from typing import Iterable, Iterator, Optional
 
 import numpy as np
 import pandas as pd
@@ -168,58 +168,38 @@ def _verify_pairs(candidates: DataFrame, sh: DataFrame,
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+_SIG_SENTINEL = (1 << 62) - 1  # > any 51-bit multiply-shift value
 
 
-def _hash_params(num_hashes: int, seed: int) -> tuple:
+def _hash_params(num_hashes: int, seed: int) -> np.ndarray:
+    """Odd 64-bit multipliers for the multiply-shift hash family."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
-    return a, b
+    a = rng.randint(0, 1 << 62, size=num_hashes, dtype=np.int64).astype(
+        np.uint64
+    )
+    return (a << np.uint64(1)) | np.uint64(1)
 
 
-def _base_hash(shingle: str) -> int:
-    """Stable 61-bit base hash from md5 (reproducible across runs)."""
-    d = hashlib.md5(shingle.encode("utf-8")).digest()
-    return struct.unpack("<Q", d[:8])[0] & _MERSENNE
+def _base_hash(flat: list) -> np.ndarray:
+    """Stable vectorized 64-bit base hashes: pandas' SipHash with its
+    fixed default key — deterministic across processes and runs."""
+    return pd.util.hash_array(np.asarray(flat, dtype=object))  # uint64
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 128,
                        seed: int = 7, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       shingle_docs: Optional[DataFrame] = None) -> DataFrame:
     """(id, sig array<long>) — one vectorized Arrow pass per doc batch.
 
-    h_i(s) = (a_i·base(s) + b_i) mod 2^61−1, base = md5-derived; the
-    whole (num_hashes × shingles) table computes as one numpy outer op
-    per document (uint64 wraparound is fine for min-stability as long
-    as it is applied identically everywhere — we keep exact mod-p
-    arithmetic via Python ints packed in object arrays is too slow, so
-    we use float-free 128-bit-safe numpy: split multiply)."""
-    a, b = _hash_params(num_hashes, seed)
+    h_i(s) = (a_i · (2·base(s)+1) mod 2^64) >> 13 — the multiply-shift
+    family; wraparound multiply IS the hash, one mul + one shift per
+    cell. The whole batch computes as ONE (num_hashes × total_shingles)
+    broadcast followed by ``np.minimum.reduceat`` over per-doc segments
+    — no per-hash or per-doc Python loops."""
+    a = _hash_params(num_hashes, seed)
 
-    def sig_of(shingles: list) -> np.ndarray:
-        if not shingles:
-            return np.full(num_hashes, _MERSENNE, dtype=np.int64)
-        base = np.fromiter(
-            (_base_hash(s) for s in shingles), dtype=np.int64, count=len(shingles)
-        )
-        # exact (a*base + b) mod p without overflow: use object→int128 via
-        # numpy's 64x64→128 trick: split base into hi/lo 32-bit halves.
-        lo = base & 0xFFFFFFFF
-        hi = base >> 32
-        out = np.empty((num_hashes, len(base)), dtype=np.uint64)
-        au = a.astype(np.uint64)
-        bu = b.astype(np.uint64)
-        p = np.uint64(_MERSENNE)
-        for i in range(num_hashes):
-            # (a*hi mod p) * 2^32 + a*lo, all mod p — still needs care:
-            t_hi = (au[i] * hi.astype(np.uint64)) % p
-            t_hi = (t_hi << np.uint64(32)) % p
-            t_lo = (au[i] * lo.astype(np.uint64)) % p
-            out[i] = (t_hi + t_lo + bu[i]) % p
-        return out.min(axis=1).astype(np.int64)
-
-    sh_docs = docs.select(
+    sh_docs = shingle_docs if shingle_docs is not None else docs.select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles_col(F.col(text_col), n)).alias("shingles"),
     )
@@ -233,7 +213,33 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 128,
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = [sig_of(list(s)) for s in pdf["shingles"]]
+            lens = np.fromiter((len(s) for s in pdf["shingles"]),
+                               dtype=np.int64, count=len(pdf))
+            flat: list = []
+            for s in pdf["shingles"]:
+                flat.extend(s)
+            sigs: list
+            if len(flat) == 0:
+                sigs = [np.full(num_hashes, _SIG_SENTINEL, dtype=np.int64)
+                        for _ in range(len(pdf))]
+            else:
+                base = (_base_hash(flat) << np.uint64(1)) | np.uint64(1)
+                with np.errstate(over="ignore"):
+                    hm = (a[:, None] * base[None, :]) >> np.uint64(13)
+                hm = hm.astype(np.int64)  # < 2^51, sign-safe
+                nonempty = lens > 0
+                starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+                np.cumsum(lens[nonempty][:-1], out=starts[1:])
+                mins = np.minimum.reduceat(hm, starts, axis=1)  # (H, docs≠∅)
+                sigs = []
+                j = 0
+                for ne in nonempty:
+                    if ne:
+                        sigs.append(mins[:, j].copy())
+                        j += 1
+                    else:
+                        sigs.append(np.full(num_hashes, _SIG_SENTINEL,
+                                            dtype=np.int64))
             yield pd.DataFrame({"id": pdf["id"], "sig": sigs})
 
     return sh_docs.mapInPandas(fn, schema=schema)
@@ -247,9 +253,16 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     bands=32 × rows=4 at 128 hashes → P(candidate | J=0.8) ≈
     1−(1−0.8⁴)³² ≈ 1−6e-7: recall ~1 at the threshold. Candidates =
     band-bucket groupBy (shuffle keyed on (band, bucket-hash)); the
-    verification join is restricted to candidates only."""
+    verification join is restricted to candidates only. The shingle
+    array is computed once and persisted — signatures and the exact
+    verification both read it."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, n, num_hashes, seed, id_col, text_col)
+    sh_docs = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_col(F.col(text_col), n)).alias("shingles"),
+    ).persist()
+    sigs = minhash_signatures(docs, n, num_hashes, seed, id_col, text_col,
+                              shingle_docs=sh_docs)
     banded = sigs.select(
         "id",
         F.explode(
@@ -282,7 +295,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sh = shingle_table(docs, n, id_col, text_col)
+    sh = sh_docs.select("id", F.explode("shingles").alias("shingle"))
     return _verify_pairs(candidates, sh, threshold)
 
 

@@ -3,12 +3,13 @@
 Spark-first pipeline, one tokenize pass, explicit partitioning::
 
     pages (url, warc_ts, html, text, lang)
-      │  dedup by url keep-earliest warc_ts (E13: row_number window)
-      │  extract title/text via mapInPandas (E2-E3, Arrow batches)
-      │  deterministic dense doc_id: range-partition by url, two-pass
-      │  per-partition offsets (SURVEY §7.1 — no global sort bottleneck)
+      │  ONE url-range shuffle: keep-first dedup (E13) + extraction
+      │  (E2-E3) fused in a single sorted Arrow pass; dense doc_id via
+      │  two-pass per-partition offsets (SURVEY §7.1 — no global sort)
       ▼
-    docmeta  (doc_id, url, title, lang, doc_len, unique_terms, text)
+    docs     (doc_id, url, title, lang, text)            ← text at rest, once
+      ▼
+    docmeta  (doc_id, url, title, lang, doc_len, unique_terms)
       │  tokenize+per-doc aggregate fused in one mapInPandas (B1:
       │  inverted_index.cpp:46-68 semantics), sortWithinPartitions →
       ▼
@@ -52,19 +53,6 @@ from search_engine_spark.sources.index_store import IndexStore
 # stage 1: docmeta (dedup → extract → doc_id)
 # --------------------------------------------------------------------------
 
-_DOCMETA_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("url", T.StringType(), False),
-        T.StructField("title", T.StringType(), True),
-        T.StructField("lang", T.StringType(), True),
-        T.StructField("doc_len", T.LongType(), False),
-        T.StructField("unique_terms", T.LongType(), False),
-        T.StructField("text", T.StringType(), True),
-    ]
-)
-
-
 def dedup_pages(pages: DataFrame) -> DataFrame:
     """Keep the earliest warc_ts per url (inverted_index.cpp:20-25:
     first writer wins; warc_ts is the deterministic 'first')."""
@@ -78,9 +66,21 @@ def dedup_pages(pages: DataFrame) -> DataFrame:
     )
 
 
-def _extract_map(cfg: EngineConfig):
+def _extract_map(cfg: EngineConfig, dedup_sorted: bool = False):
+    """Vectorized extract (E2-E3). With ``dedup_sorted=True`` the input
+    partition is (url, warc_ts)-sorted and url-range-partitioned, so
+    keep-first-per-url dedup (E13) happens in the same pass — the
+    carried ``last_url`` handles groups spanning Arrow batches."""
+    last_url_holder = {"u": None}
+
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if dedup_sorted and len(pdf):
+                keep = pdf["url"].ne(pdf["url"].shift())
+                if last_url_holder["u"] is not None:
+                    keep.iloc[0] = pdf["url"].iloc[0] != last_url_holder["u"]
+                last_url_holder["u"] = pdf["url"].iloc[-1]
+                pdf = pdf[keep]
             titles, texts = [], []
             html_col = pdf["html"] if "html" in pdf.columns else [None] * len(pdf)
             text_col = pdf["text"] if "text" in pdf.columns else [None] * len(pdf)
@@ -130,6 +130,13 @@ def assign_doc_ids(spark: SparkSession, docs: DataFrame, partitions: int) -> Dat
     ranged = (
         docs.repartitionByRange(parts, "url").sortWithinPartitions("url").persist()
     )
+    assigned = _add_partition_offset_ids(spark, ranged)
+    return assigned
+
+
+def _add_partition_offset_ids(spark: SparkSession, ranged: DataFrame) -> DataFrame:
+    """Two-pass dense ordinal ids over an already-url-sorted, persisted
+    frame: per-partition counts → broadcast offsets → ordinal add."""
     counts = (
         ranged.withColumn("_pid", F.spark_partition_id())
         .groupBy("_pid")
@@ -143,7 +150,7 @@ def assign_doc_ids(spark: SparkSession, docs: DataFrame, partitions: int) -> Dat
         acc += row["count"]
 
     out_schema = T.StructType(
-        [T.StructField("doc_id", T.LongType(), False)] + list(docs.schema.fields)
+        [T.StructField("doc_id", T.LongType(), False)] + list(ranged.schema.fields)
     )
 
     def add_ids(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -159,16 +166,29 @@ def assign_doc_ids(spark: SparkSession, docs: DataFrame, partitions: int) -> Dat
             pdf.insert(0, "doc_id", ids)
             yield pdf
 
-    assigned = ranged.mapInPandas(add_ids, schema=out_schema)
-    return assigned
+    return ranged.mapInPandas(add_ids, schema=out_schema)
 
 
 def build_docs(
     spark: SparkSession, pages: DataFrame, cfg: EngineConfig
 ) -> DataFrame:
-    """dedup → extract → deterministic doc_id (no token stats yet —
-    tokenization happens exactly once, in the postings stage)."""
-    deduped = dedup_pages(pages)
+    """dedup + extract + deterministic doc_id in ONE full-data shuffle.
+
+    The url-range repartition both (a) co-locates every copy of a url —
+    so keep-first dedup (E13) runs inside the sorted partition stream,
+    fused with extraction in a single Arrow pass — and (b) is the exact
+    partitioning the two-pass dense doc-id assignment needs. The old
+    shape (window-dedup shuffle, extract, then a second range shuffle)
+    moved the full text column across the cluster twice; this moves it
+    once. At 10^12 docs that is the difference between 1× and 2× the
+    corpus through the shuffle service."""
+    parts = max(1, min(cfg.index_partitions, 10_000))
+    sort_cols = [F.col("url").asc()] + (
+        [F.col("warc_ts").asc_nulls_last()] if "warc_ts" in pages.columns else []
+    )
+    ranged = pages.repartitionByRange(parts, "url").sortWithinPartitions(
+        *sort_cols
+    )
     extract_schema = T.StructType(
         [
             T.StructField("url", T.StringType(), False),
@@ -177,14 +197,21 @@ def build_docs(
             T.StructField("lang", T.StringType(), True),
         ]
     )
-    extracted = deduped.mapInPandas(_extract_map(cfg), schema=extract_schema)
-    return assign_doc_ids(spark, extracted, cfg.index_partitions)
+    extracted = ranged.mapInPandas(
+        _extract_map(cfg, dedup_sorted=True), schema=extract_schema
+    ).persist()
+    return _add_partition_offset_ids(spark, extracted)
 
 
 def build_docmeta(docs: DataFrame, postings: DataFrame) -> DataFrame:
     """docmeta = docs ⋈ per-doc token stats derived from postings (B3):
     doc_len = Σtf (total tokens, BM25 |d|), unique_terms = #distinct
-    terms (the reference's Document.length, inverted_index.cpp:99-100)."""
+    terms (the reference's Document.length, inverted_index.cpp:99-100).
+
+    Deliberately EXCLUDES the text column: text lives once, in the
+    ``docs`` stage; duplicating it here would double the corpus at rest
+    (terabytes at 10^12 docs). Snippets join ``docs`` on the k hit rows.
+    """
     stats = postings.groupBy("doc_id").agg(
         F.sum("tf").alias("doc_len"), F.count("*").alias("unique_terms")
     )
@@ -194,7 +221,7 @@ def build_docmeta(docs: DataFrame, postings: DataFrame) -> DataFrame:
         .withColumn(
             "unique_terms", F.coalesce(F.col("unique_terms"), F.lit(0)).cast("long")
         )
-        .select("doc_id", "url", "title", "lang", "doc_len", "unique_terms", "text")
+        .select("doc_id", "url", "title", "lang", "doc_len", "unique_terms")
     )
 
 

@@ -357,16 +357,19 @@ class SearchEngine:
         tokenize the hit's text, find the first query-term match, emit a
         ±context_words token window with ``[term]`` highlighting and
         ellipses. Runs only over the k hit rows (k is tiny), as one
-        Arrow batch joined against docmeta's stored text."""
+        Arrow batch joined against the docs stage's stored text."""
         from search_engine_spark.functions.tokenizer import tokenize_text
 
         ast = qp.parse(query)
         terms = set(qp.extract_terms(ast)) if ast is not None else set()
         cfg = self.cfg
         hits = self.search(query, k, with_meta=True)
-        with_text = hits.join(
-            F.broadcast(self.docmeta.select("doc_id", "text")), "doc_id", "left"
+        # text lives in the docs stage only (docmeta is text-free — see
+        # index_build.build_docmeta); join the k hit rows against it.
+        docs_text = self.store.read_stage(self.spark, "docs").select(
+            "doc_id", "text"
         )
+        with_text = hits.join(docs_text, "doc_id", "left")
 
         out_schema = T.StructType(
             list(with_text.schema.fields)[:-1]  # drop text

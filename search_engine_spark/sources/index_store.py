@@ -12,7 +12,7 @@ Layout (parquet fallback)::
     index_dir/
       meta.json        engine config + N + avgdl + IndexStats + timings
       manifest.json    per-stage lineage: rows, wall_ms, per-file rows
-      docmeta/         (doc_id, url, title, lang, doc_len, unique_terms, text)
+      docmeta/         (doc_id, url, title, lang, doc_len, unique_terms)
       postings/        (term, doc_id, tf, doc_len[, positions])  sorted runs
       dictionary/      (term, df, cf)
       blocks/          (term, block_id, doc_count, min_doc, max_doc,
