@@ -189,6 +189,48 @@ def heaps_law(total_tokens: int, k: float = 10.0, beta: float = 0.5) -> float:
     return k * (total_tokens ** beta)
 
 
+def export_zipf(ranked: DataFrame, out_dir: str, top: int = 1000) -> dict:
+    """S14 (zipf_analyzer.py:222-246): (rank,term,frequency) CSV + the
+    fitted constants JSON. The CSV is the top slice (driver-sized);
+    the fit runs over the full table."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ranked.limit(top).coalesce(1).write.mode("overwrite").option(
+        "header", True
+    ).csv(os.path.join(out_dir, "rank_frequency"))
+    fit = zipf_fit(ranked).collect()[0]
+    consts = {"C": fit["c"], "s": fit["s"], "r_squared": fit["r2"]}
+    with open(os.path.join(out_dir, "zipf_constants.json"), "w") as f:
+        json.dump(consts, f, indent=1)
+    return consts
+
+
+def plot_zipf(ranked: DataFrame, out_path: str, top: int = 1000) -> bool:
+    """Z13 (visualizer.py:30-146): log-log rank/frequency plot of the
+    driver-sized top slice. matplotlib is optional in this environment —
+    returns False when unavailable."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return False
+    rows = ranked.limit(top).collect()
+    ranks = [r["rank"] for r in rows]
+    freqs = [r["freq"] for r in rows]
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.loglog(ranks, freqs, marker=".", linestyle="none")
+    ax.set_xlabel("rank")
+    ax.set_ylabel("frequency")
+    ax.set_title("Zipf rank-frequency")
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+    return True
+
+
 def per_group_stats(docs: DataFrame, group_col: str) -> DataFrame:
     """Z11/Z12: per-group doc counts + content-length stats (the
     reference's Mongo $group pipelines, database_handler.py:283-326)."""

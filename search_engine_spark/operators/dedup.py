@@ -23,9 +23,9 @@ Scale design:
 * ``simhash_pairs`` — 64-bit simhash; pigeonhole banding (k+1 chunks
   catch all pairs within hamming k), JVM popcount check via
   ``bit_count(a ^ b)``, then the same exact verification.
-* ``embedding_near_dup_pairs`` — normalized-vector dot products; exact
-  per-bucket (LSH hyperplane bucketing) or exact-small (block cross
-  join) depending on n.
+* ``embedding_pairs_exact`` / ``embedding_pairs_lsh`` —
+  normalized-vector dot products; broadcast block nested-loop (exact,
+  one side fits an executor) or hyperplane-bucketed (scale path).
 """
 
 from __future__ import annotations

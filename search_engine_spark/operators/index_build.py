@@ -197,9 +197,15 @@ def build_docs(
             T.StructField("lang", T.StringType(), True),
         ]
     )
+    from pyspark import StorageLevel
+
+    # DISK_ONLY persist: the two-pass id assignment replays this frame
+    # once; serialized blocks on spark.local.dir (tmpfs in the bench)
+    # avoid the SQL columnar-cache's on-heap allocation churn, which
+    # measured 3-4x wall-clock variance on large corpora.
     extracted = ranged.mapInPandas(
         _extract_map(cfg, dedup_sorted=True), schema=extract_schema
-    ).persist()
+    ).persist(StorageLevel.DISK_ONLY)
     return _add_partition_offset_ids(spark, extracted)
 
 

@@ -19,20 +19,41 @@ from pyspark.sql import SparkSession
 _SHIPPED_ATTR = "_search_engine_spark_shipped"
 
 
+def _zip_home() -> str | None:
+    """If this package is being imported FROM a zip (spark-submit
+    --py-files / zipimport), return that zip's path, else None."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    if os.path.isdir(pkg_dir):
+        return None
+    return root if zipfile.is_zipfile(root) else None
+
+
 def package_zip(out_path: str | None = None) -> str:
-    """Zip the installed search_engine_spark package (for --py-files)."""
+    """Zip the installed search_engine_spark package (for --py-files).
+
+    When the package already runs from a zip, that zip IS the artifact
+    — re-zipping would walk a zip path, find nothing, and truncate the
+    file we are executing from."""
+    zh = _zip_home()
+    if zh is not None:
+        return zh
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
     if out_path is None:
         out_path = os.path.join(
             tempfile.gettempdir(), "search_engine_spark_pyfiles.zip"
         )
+    n = 0
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for dirpath, _dirnames, filenames in os.walk(pkg_dir):
             for fn in filenames:
                 if fn.endswith(".py"):
                     full = os.path.join(dirpath, fn)
                     zf.write(full, os.path.relpath(full, root))
+                    n += 1
+    if n == 0:
+        raise RuntimeError(f"package_zip found no .py files under {pkg_dir}")
     return out_path
 
 
