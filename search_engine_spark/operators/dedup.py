@@ -261,6 +261,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
         F.col(id_col).alias("id"),
         F.array_distinct(shingles_col(F.col(text_col), n)).alias("shingles"),
     ).persist()
+    sh_docs.count()  # materialize once; signatures + verification reuse it
     sigs = minhash_signatures(docs, n, num_hashes, seed, id_col, text_col,
                               shingle_docs=sh_docs)
     banded = sigs.select(

@@ -527,3 +527,86 @@ def build_index(
         }
     )
     return store
+
+
+def validate_index(store: IndexStore, spark: SparkSession) -> dict:
+    """B8 (inverted_index.cpp:502-534): post-build integrity checks as
+    anti-join/aggregate queries. Returns {check: ok} and raises nothing
+    — callers decide what a failure means.
+
+    * doc ids dense [0, N) and unique; url unique
+    * every posting's doc_id exists in docmeta
+    * dictionary df == distinct doc count per term in postings
+    * block doc_counts sum to df per term; block doc ranges consistent
+    """
+    docmeta = store.read_stage(spark, "docmeta")
+    postings = store.read_stage(spark, "postings")
+    dictionary = store.read_stage(spark, "dictionary")
+    blocks = store.read_stage(spark, "blocks")
+
+    n = docmeta.count()
+    agg = docmeta.agg(
+        F.min("doc_id").alias("mn"),
+        F.max("doc_id").alias("mx"),
+        F.countDistinct("doc_id").alias("du"),
+        F.countDistinct("url").alias("uu"),
+    ).collect()[0]
+    dense = (
+        n == 0
+        or (agg["mn"] == 0 and agg["mx"] == n - 1 and agg["du"] == n)
+    )
+    urls_unique = agg["uu"] == n
+
+    orphan_postings = (
+        postings.select("doc_id")
+        .distinct()
+        .join(docmeta.select("doc_id"), "doc_id", "left_anti")
+        .count()
+    )
+
+    df_check = (
+        postings.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df2"))
+        .join(dictionary, "term", "full")
+        .filter(
+            F.col("df").isNull()
+            | F.col("df2").isNull()
+            | (F.col("df") != F.col("df2"))
+        )
+        .count()
+    )
+
+    block_check = (
+        blocks.groupBy("term")
+        .agg(F.sum("doc_count").alias("bc"))
+        .join(dictionary, "term", "full")
+        .filter(
+            F.col("df").isNull()
+            | F.col("bc").isNull()
+            | (F.col("df") != F.col("bc"))
+        )
+        .count()
+    )
+
+    bad_ranges = blocks.filter(
+        (F.col("min_doc") > F.col("max_doc"))
+        | (F.col("doc_count") <= 0)
+        | (F.col("max_doc") >= n)
+    ).count()
+
+    return {
+        "doc_ids_dense": bool(dense),
+        "urls_unique": bool(urls_unique),
+        "orphan_posting_docs": int(orphan_postings),
+        "dictionary_df_mismatches": int(df_check),
+        "block_doc_count_mismatches": int(block_check),
+        "bad_block_ranges": int(bad_ranges),
+        "ok": bool(
+            dense
+            and urls_unique
+            and orphan_postings == 0
+            and df_check == 0
+            and block_check == 0
+            and bad_ranges == 0
+        ),
+    }

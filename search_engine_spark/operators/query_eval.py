@@ -213,6 +213,75 @@ class SearchEngine:
             )
         return joined.filter(cond).select("doc_id")
 
+    # -- conjunctive block pruning ----------------------------------------
+    @staticmethod
+    def _flatten_and_terms(node: qp.Node) -> Optional[List[str]]:
+        """If the AST is a pure conjunction of plain terms, return them."""
+        if isinstance(node, qp.Term):
+            return [node.term]
+        if isinstance(node, qp.And):
+            l = SearchEngine._flatten_and_terms(node.left)
+            r = SearchEngine._flatten_and_terms(node.right)
+            if l is not None and r is not None:
+                return l + r
+        return None
+
+    def _and_scores_block_pruned(
+        self, terms: List[str], stats: Dict[str, Tuple[int, int]]
+    ) -> DataFrame:
+        """Exact AND via df-ascending block-range skipping.
+
+        Every doc in the intersection appears in the rarest term's
+        posting list, so its doc_id lies inside one of that term's
+        block [min_doc, max_doc] ranges. Those ranges (df/block_size
+        rows — driver-sized) broadcast against the other terms' block
+        METADATA; blocks outside every range never decompress. This is
+        the distributed analogue of doc-at-a-time WAND skipping plus
+        the reference report's smaller-operand-first AND ordering
+        (report/main.tex:799-810, claimed there, real here) — and it is
+        exact, not approximate: pruned blocks provably contain no
+        intersection docs."""
+        order = sorted(terms, key=lambda t: stats.get(t, (0, 0))[0])
+        rare = order[0]
+        if stats.get(rare, (0, 0))[0] == 0:
+            return self.spark.createDataFrame([], _SCORE_SCHEMA)
+        ranges = (
+            self.blocks.filter(F.col("term") == rare)
+            .select("min_doc", "max_doc")
+            .collect()
+        )
+        rng_df = F.broadcast(
+            self.spark.createDataFrame(
+                [(r["min_doc"], r["max_doc"]) for r in ranges],
+                "lo long, hi long",
+            )
+        )
+        parts = []
+        for i, t in enumerate(order):
+            df = stats[t][0]
+            idf = self.idf(df)
+            dec = _decode_score_map(idf, self.cfg.k1, self.cfg.b, self.avgdl)
+            blk = self.blocks.filter(F.col("term") == t)
+            if i > 0:
+                # keep blocks overlapping ANY rare-term range
+                blk = (
+                    blk.join(
+                        rng_df,
+                        (F.col("max_doc") >= F.col("lo"))
+                        & (F.col("min_doc") <= F.col("hi")),
+                        "leftsemi",
+                    )
+                )
+            scored = blk.select("doc_gaps", "tfs", "dls").mapInPandas(
+                dec, schema=_SCORE_SCHEMA
+            )
+            parts.append(scored.withColumnRenamed("score", f"s{i}"))
+        joined = reduce(lambda a, b: a.join(b, "doc_id", "inner"), parts)
+        total = reduce(
+            lambda acc, i: acc + F.col(f"s{i}"), range(1, len(order)), F.col("s0")
+        )
+        return joined.select("doc_id", total.alias("score"))
+
     # -- AST → (doc_id, score) DataFrame ---------------------------------
     def _eval(self, node: qp.Node, stats: Dict[str, Tuple[int, int]]) -> DataFrame:
         if isinstance(node, qp.Term):
@@ -276,13 +345,23 @@ class SearchEngine:
             out = self.spark.createDataFrame([], _SCORE_SCHEMA)
         else:
             stats = self.term_stats(qp.extract_terms(ast))
+            and_terms = self._flatten_and_terms(ast)
+            nb = lambda t: (
+                stats.get(t, (0, 0))[0] + self.cfg.block_size - 1
+            ) // self.cfg.block_size
             if isinstance(ast, qp.Term):
                 df = stats.get(ast.term, (0, 0))[0]
-                n_blocks = (df + self.cfg.block_size - 1) // self.cfg.block_size
-                if n_blocks > self.cfg.wand_min_blocks:
+                if nb(ast.term) > self.cfg.wand_min_blocks:
                     scores = self._term_scores_topk_pruned(ast.term, df, k)
                 else:
                     scores = self._term_scores(ast.term, df)
+            elif (
+                and_terms is not None
+                and len(and_terms) > 1
+                and min(nb(t) for t in and_terms) <= 10_000
+                and max(nb(t) for t in and_terms) > self.cfg.wand_min_blocks
+            ):
+                scores = self._and_scores_block_pruned(and_terms, stats)
             else:
                 scores = self._eval(ast, stats)
             out = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

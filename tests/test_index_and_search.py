@@ -177,3 +177,32 @@ def test_search_batch_tags_queries(built):
     out = engine.search_batch(qs, k=3).collect()
     tags = {r["query"] for r in out}
     assert tags == set(qs)
+
+
+def test_and_block_pruning_rank_identical(built):
+    _, engine, oracle = built
+    t1, t2 = REFERENCE_QUERY_TERMS[0], REFERENCE_QUERY_TERMS[1]
+    stats = engine.term_stats([t1, t2])
+    # fixture uses block_size=16 / wand_min_blocks=2 so the path engages
+    assert max(
+        (stats[t][0] + CFG.block_size - 1) // CFG.block_size for t in (t1, t2)
+    ) > CFG.wand_min_blocks
+    pruned = engine._and_scores_block_pruned([t1, t2], stats)
+    full = engine._eval(
+        __import__(
+            "search_engine_spark.plans.query_parser", fromlist=["parse"]
+        ).parse(f"{t1} && {t2}"),
+        stats,
+    )
+    p = {r["doc_id"]: r["score"] for r in pruned.collect()}
+    f = {r["doc_id"]: r["score"] for r in full.collect()}
+    assert set(p) == set(f) and p
+    for d in p:
+        assert p[d] == pytest.approx(f[d], rel=1e-12)
+    # end-to-end: search() engages the pruned path and matches oracle
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.search(f"{t1} && {t2}", 10, with_meta=False).collect()
+    ]
+    want = oracle.search(f"{t1} && {t2}", 10)
+    assert [d for d, _ in got] == [d for d, _, in want]

@@ -92,3 +92,17 @@ def test_salted_build_semantically_equal_to_unsalted(spark, tmp_path):
         .count()
     )
     assert heavy_blocks == 4
+
+
+def test_validate_index(spark, tmp_path):
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.operators.index_build import build_index, validate_index
+    from search_engine_spark.sources.pages_source import pages_df
+
+    out = str(tmp_path / "vidx")
+    store = build_index(
+        spark, pages_df(spark, n_docs=150, seed=11), out,
+        EngineConfig(index_partitions=4),
+    )
+    report = validate_index(store, spark)
+    assert report["ok"], report
