@@ -441,6 +441,38 @@ def _q_mm_meta(spark, sf_dir):
     return media_metadata(payloads).select("doc_id", "n_bytes", "sha256")
 
 
+def _q_regex_search(spark, sf_dir):
+    from search_engine_spark.operators.exports import regex_search
+
+    return regex_search(
+        _docs(spark, sf_dir), "join (the|a|big) ", not_pattern="dup"
+    ).select("doc_id")
+
+
+def _q_index_valid(spark, sf_dir):
+    from search_engine_spark.operators.index_build import validate_index
+
+    eng = _engine(spark, sf_dir)
+    rep = validate_index(eng.store, spark)
+    return spark.createDataFrame(
+        [(
+            rep["ok"],
+            rep["orphan_posting_docs"],
+            rep["dictionary_df_mismatches"],
+            rep["block_doc_count_mismatches"],
+            rep["bad_block_ranges"],
+        )],
+        "ok boolean, orphans long, df_mismatches long, "
+        "block_mismatches long, bad_ranges long",
+    )
+
+
+def _q_vocab_growth(spark, sf_dir):
+    from search_engine_spark.operators.analytics import vocabulary_growth
+
+    return vocabulary_growth(_docs(spark, sf_dir), points=50)
+
+
 def _q_events_latest(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -534,6 +566,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
         "mm_meta": _q_mm_meta,
+        "regex_search": _q_regex_search,
+        "index_valid": _q_index_valid,
+        "vocab_growth": _q_vocab_growth,
         "events_latest": _q_events_latest,
         "events_sessions": _q_events_sessions,
         "tpch_revenue": _q_tpch_revenue,
@@ -796,6 +831,15 @@ FROM documents d LEFT JOIN (
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        sha256(text) AS sha256
 FROM documents
+""",
+        "regex_search": """
+SELECT doc_id FROM documents
+WHERE regexp_matches(text, 'join (the|a|big) ', 'i')
+  AND NOT regexp_matches(text, 'dup', 'i')
+""",
+        "index_valid": """
+SELECT true AS ok, 0::BIGINT AS orphans, 0::BIGINT AS df_mismatches,
+       0::BIGINT AS block_mismatches, 0::BIGINT AS bad_ranges
 """,
         "events_latest": """
 SELECT user_id, event_id, event_type FROM (
