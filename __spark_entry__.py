@@ -441,6 +441,16 @@ def _q_mm_meta(spark, sf_dir):
     return media_metadata(payloads).select("doc_id", "n_bytes", "sha256")
 
 
+def _q_curate(spark, sf_dir):
+    from search_engine_spark.operators.pipeline import curate
+
+    out, _ = curate(
+        _docs(spark, sf_dir), near_dup_threshold=0.8, use_lsh=True,
+        with_report=False,
+    )
+    return out.select("doc_id")
+
+
 def _q_regex_search(spark, sf_dir):
     from search_engine_spark.operators.exports import regex_search
 
@@ -566,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
         "mm_meta": _q_mm_meta,
+        "curate": _q_curate,
         "regex_search": _q_regex_search,
         "index_valid": _q_index_valid,
         "vocab_growth": _q_vocab_growth,
@@ -831,6 +842,24 @@ FROM documents d LEFT JOIN (
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        sha256(text) AS sha256
 FROM documents
+""",
+        "curate": _SHINGLES + """,
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+neardup AS (
+  SELECT DISTINCT id_b FROM inter
+  JOIN shn na ON na.doc_id = id_a
+  JOIN shn nb ON nb.doc_id = id_b
+  WHERE i * 1.0 / (na.n_sh + nb.n_sh - i) >= 0.8
+),
+exact_kept AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+)
+SELECT doc_id FROM exact_kept
+WHERE doc_id NOT IN (SELECT id_b FROM neardup)
 """,
         "regex_search": """
 SELECT doc_id FROM documents

@@ -1,0 +1,87 @@
+"""Corpus curation pipeline — the composed training-data cleaning flow.
+
+One operator chaining the curation stages a web-scale pretraining
+pipeline runs between crawl and tokenizer:
+
+    raw docs
+      │ 1. language filter        (keep langs in `langs`, textstats E11-ish)
+      │ 2. quality floor          (quality_score ≥ min_quality)
+      │ 3. exact dedup            (md5(text), keep min id)
+      │ 4. near-dup removal       (n-gram Jaccard ≥ threshold via
+      │                            MinHash-LSH candidates + exact verify;
+      │                            drop the higher id of every pair)
+      ▼
+    curated docs (+ per-stage counts report)
+
+Near-dup removal semantics: a document is dropped iff it appears as the
+HIGHER id in any verified pair. This keeps the lowest id of every
+duplicate cluster *and* is order-independent / SQL-expressible (an
+anti-join against the pair list), unlike greedy union-find clustering.
+
+Every stage is a plain DataFrame transform — the composition is one
+lazy plan except the LSH candidate materialization inside the near-dup
+join. At 10^12 docs each stage keys its own shuffle (hash, bucket,
+shingle); nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.dedup import (
+    drop_exact_dups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from search_engine_spark.operators.textstats import quality_features
+
+
+def curate(
+    docs: DataFrame,
+    langs: Optional[Sequence[str]] = None,
+    min_quality: float = 0.0,
+    near_dup_threshold: Optional[float] = 0.8,
+    ngram: int = 3,
+    use_lsh: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_report: bool = True,
+):
+    """Returns (curated_df, report_dict) — report has per-stage counts
+    when ``with_report`` (it triggers counting jobs; pass False to keep
+    the plan fully lazy)."""
+    report = {}
+    if with_report:
+        report["input"] = docs.count()
+
+    out = docs
+    if langs:
+        out = out.filter(F.col("lang").isin(list(langs)))
+        if with_report:
+            report["after_lang_filter"] = out.count()
+
+    if min_quality > 0.0:
+        scored = quality_features(out, text_col)
+        out = scored.filter(F.col("quality_score") >= min_quality).select(
+            *docs.columns
+        )
+        if with_report:
+            report["after_quality_floor"] = out.count()
+
+    out = drop_exact_dups(out, id_col, text_col)
+    if with_report:
+        report["after_exact_dedup"] = out.count()
+
+    if near_dup_threshold is not None:
+        pair_fn = minhash_lsh_pairs if use_lsh else ngram_jaccard_pairs
+        pairs = pair_fn(out, n=ngram, threshold=near_dup_threshold,
+                        id_col=id_col, text_col=text_col)
+        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        out = out.join(drop, id_col, "left_anti")
+        if with_report:
+            report["after_near_dedup"] = out.count()
+
+    return out, report

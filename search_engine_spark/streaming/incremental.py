@@ -298,3 +298,73 @@ def streaming_term_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_running_term_counts(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    RUNNING per-term frequency totals across micro-batches. Each batch
+    emits the updated cumulative count for every term it touched; the
+    per-term state survives restarts through the streaming checkpoint
+    (this is the stateful shape the reference's aspirational
+    "incremental update" CLI would need, report/main.tex:1138).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from search_engine_spark.functions.tokenizer import tokenize_text
+
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(landing_dir)
+
+    tok_schema = T.StructType([T.StructField("term", T.StringType(), False)])
+
+    def toks(batches):
+        for pdf in batches:
+            out = []
+            for text in pdf["text"]:
+                out.extend(tokenize_text(text or "", cfg))
+            yield pd.DataFrame({"term": out})
+
+    terms = stream.select("text").mapInPandas(toks, schema=tok_schema)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("running_freq", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("freq", T.LongType(), False)])
+
+    def update(key, pdfs, state: GroupState):
+        seen = 0
+        for pdf in pdfs:
+            seen += len(pdf)
+        prev = state.get[0] if state.exists else 0
+        total = prev + seen
+        state.update((total,))
+        yield pd.DataFrame({"term": [key[0]], "running_freq": [total]})
+
+    counts = terms.groupBy("term").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # parquet sink only supports append; update-mode stateful output goes
+    # through foreachBatch appending each micro-batch's updates
+    def sink(batch, epoch_id):
+        batch.write.mode("append").parquet(out_dir)
+
+    return (
+        counts.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,45 @@
+"""Curation pipeline tests."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (0, base, "en"),
+        (1, base + " kilo", "en"),       # near-dup of 0 → dropped (higher id)
+        (2, base, "en"),                 # exact dup of 0 → dropped
+        (3, "zulu yankee xray whiskey victor uniform tango sierra", "en"),
+        (4, "one two three four five six seven eight nine ten", "de"),
+        (5, "xx", "en"),                 # too short → low quality
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_curate_full_chain(spark, docs):
+    from search_engine_spark.operators.pipeline import curate
+
+    out, report = curate(
+        docs, langs=["en"], min_quality=0.7, near_dup_threshold=0.8,
+        use_lsh=False,
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [0, 3]
+    assert report["input"] == 6
+    assert report["after_lang_filter"] == 5        # drops doc 4 (de)
+    assert report["after_quality_floor"] == 4      # drops doc 5
+    assert report["after_exact_dedup"] == 3        # drops doc 2
+    assert report["after_near_dedup"] == 2         # drops doc 1
+
+
+def test_curate_lsh_equals_bruteforce(spark, docs):
+    from search_engine_spark.operators.pipeline import curate
+
+    a, _ = curate(docs, near_dup_threshold=0.8, use_lsh=True,
+                  with_report=False)
+    b, _ = curate(docs, near_dup_threshold=0.8, use_lsh=False,
+                  with_report=False)
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )

@@ -108,3 +108,33 @@ def test_streaming_windowed_term_counts(spark, tmp_path):
     # availableNow flushes state at stream end, so both windows appear.
     if data:  # guard: emission depends on final watermark flush semantics
         assert data.get((10, "альфа"), 3) == 3
+
+
+def test_stateful_running_term_counts(spark, tmp_path):
+    from search_engine_spark.streaming.incremental import (
+        streaming_running_term_counts,
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    _write_batch(spark, landing, _rows(range(0, 3), lambda i: "альфа бета"))
+    q = streaming_running_term_counts(spark, landing, out, ckpt)
+    q.awaitTermination(120)
+
+    # second drain: state must carry over the checkpoint
+    _write_batch(spark, landing, _rows(range(3, 5), lambda i: "альфа"))
+    q = streaming_running_term_counts(spark, landing, out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    latest = {
+        r["term"]: r["running_freq"]
+        for r in got.groupBy("term")
+        .agg(F.max("running_freq").alias("running_freq"))
+        .collect()
+    }
+    assert latest["альфа"] == 5  # 3 from batch 1 + 2 from batch 2
+    assert latest["бета"] == 3
