@@ -156,9 +156,46 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(data)
 
 
-def parse_html(html: Union[bytes, str]) -> Node:
+_CHARSET_META_RE = __import__("re").compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?\s*([A-Za-z0-9_.:-]+)", __import__("re").I
+)
+
+
+def detect_encoding(html: bytes, header_charset: str | None = None) -> str:
+    """E1 (page_downloader.py:207-240): HTTP-header charset → chardet
+    (confidence > 0.7; optional dependency, absent in this container) →
+    <meta charset> tag → utf-8."""
+    if header_charset:
+        try:
+            b"x".decode(header_charset)
+            return header_charset
+        except (LookupError, UnicodeDecodeError):
+            pass
+    try:
+        import chardet  # pragma: no cover - not installed here
+
+        guess = chardet.detect(html[:65536])
+        if guess.get("confidence", 0) > 0.7 and guess.get("encoding"):
+            return guess["encoding"]
+    except ImportError:
+        pass
+    m = _CHARSET_META_RE.search(html[:65536])
+    if m:
+        enc = m.group(1).decode("ascii", errors="replace")
+        try:
+            b"x".decode(enc)
+            return enc
+        except (LookupError, UnicodeDecodeError):
+            pass
+    return "utf-8"
+
+
+def parse_html(html: Union[bytes, str],
+               header_charset: str | None = None) -> Node:
     if isinstance(html, (bytes, bytearray)):
-        html = bytes(html).decode("utf-8", errors="replace")
+        raw = bytes(html)
+        html = raw.decode(detect_encoding(raw, header_charset),
+                          errors="replace")
     p = _TreeBuilder()
     p.feed(html)
     p.close()

@@ -93,3 +93,25 @@ def test_corpus_generator_invariant():
     # contains the reference query terms somewhere
     blob = " ".join(t for t in pdf["text"] if t)
     assert "математика" in blob and "информация" in blob
+
+
+def test_encoding_detection_cascade():
+    from search_engine_spark.functions.html_extract import (
+        detect_encoding,
+        parse_html,
+    )
+
+    cp1251 = "<html><head><meta charset=windows-1251></head><body><p>" \
+             "привет мир как дела сегодня у нас тут" \
+             "</p></body></html>".encode("cp1251")
+    assert detect_encoding(cp1251) == "windows-1251"
+    # header charset wins over the meta tag
+    assert detect_encoding(cp1251, header_charset="koi8-r") == "koi8-r"
+    # bogus header falls through to the meta tag
+    assert detect_encoding(cp1251, header_charset="not-a-charset") == \
+        "windows-1251"
+    # no signal → utf-8
+    assert detect_encoding(b"<html><body>hi</body></html>") == "utf-8"
+    # decoded text round-trips through the declared encoding
+    root = parse_html(cp1251)
+    assert "привет" in root.get_text(separator=" ", strip=True)
