@@ -176,3 +176,20 @@ def write_pages_parquet(path: str, n_docs: int, seed: int = 42, **kw) -> None:
 
     pdf = generate_pages_pdf(n_docs=n_docs, seed=seed, **kw)
     pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+
+
+def upsert_pages(base, updates):
+    """S4 (database_handler.py:72-118 — Mongo upsert by url) as a
+    MERGE-shaped DataFrame op: rows whose url exists in ``updates``
+    take the update row; new urls append. With an Iceberg catalog this
+    is `MERGE INTO pages USING updates ON url`; on plain parquet the
+    caller writes the returned frame as the next snapshot.
+
+    Implementation: anti-join (cheap, shuffle on url) + unionByName —
+    no window, no full sort; at 10^12 rows both sides hash-partition on
+    url and the anti-join prunes with a broadcast when updates is small.
+    """
+    from pyspark.sql import functions as F
+
+    kept = base.join(updates.select("url"), "url", "left_anti")
+    return kept.unionByName(updates.select(*kept.columns))

@@ -115,3 +115,16 @@ def test_encoding_detection_cascade():
     # decoded text round-trips through the declared encoding
     root = parse_html(cp1251)
     assert "привет" in root.get_text(separator=" ", strip=True)
+
+
+def test_upsert_pages(spark):
+    from search_engine_spark.sources.pages_source import upsert_pages
+
+    base = spark.createDataFrame(
+        [("u1", "old1"), ("u2", "old2")], "url string, text string"
+    )
+    updates = spark.createDataFrame(
+        [("u2", "new2"), ("u3", "new3")], "url string, text string"
+    )
+    got = {r["url"]: r["text"] for r in upsert_pages(base, updates).collect()}
+    assert got == {"u1": "old1", "u2": "new2", "u3": "new3"}
