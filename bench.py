@@ -38,8 +38,12 @@ def main() -> None:
     from search_engine_spark.operators.query_eval import SearchEngine
     from search_engine_spark.session import build_session
 
+    # tmpfs for shuffle + index: the microVM block layer injects
+    # one-sided multi-10s stalls under parallel IO (see CLAUDE.md)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     spark = build_session(cpus=cpus, shuffle_partitions=max(cpus, 8),
-                          app_name="search_engine_bench")
+                          app_name="search_engine_bench",
+                          local_dir=os.path.join(shm, "se_bench_local"))
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     pages = docs.select(
@@ -52,7 +56,7 @@ def main() -> None:
     n_docs = pages.count()
 
     cfg = EngineConfig(index_partitions=max(cpus, 8))
-    idx_dir = tempfile.mkdtemp(prefix="se_bench_idx_")
+    idx_dir = tempfile.mkdtemp(prefix="se_bench_idx_", dir=shm)
     timings: dict = {}
     try:
         t0 = time.time()

@@ -71,9 +71,13 @@ def build_session(
     shuffle_partitions: int = 32,
     app_name: str = "search_engine_spark",
     driver_memory: str = "32g",
+    local_dir: str | None = None,
 ) -> SparkSession:
+    builder = SparkSession.builder.master(f"local[{cpus}]")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
