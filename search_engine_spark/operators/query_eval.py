@@ -99,10 +99,20 @@ class SearchEngine:
 
     # -- dictionary lookups (driver-side, tiny) ------------------------
     def term_stats(self, terms: List[str]) -> Dict[str, Tuple[int, int]]:
-        if not terms:
-            return {}
-        rows = self.dictionary.filter(F.col("term").isin(terms)).collect()
-        return {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+        """(df, cf) per term; memoized — repeated query terms skip the
+        dictionary scan (the index is immutable once built)."""
+        cache = getattr(self, "_stats_cache", None)
+        if cache is None:
+            cache = self._stats_cache = {}
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            rows = self.dictionary.filter(
+                F.col("term").isin(missing)
+            ).collect()
+            found = {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+            for t in missing:
+                cache[t] = found.get(t, (0, 0))
+        return {t: cache[t] for t in terms}
 
     def idf(self, df: int) -> float:
         return math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
