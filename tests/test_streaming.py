@@ -104,10 +104,13 @@ def test_streaming_windowed_term_counts(spark, tmp_path):
     got = spark.read.parquet(out)
     data = {(r["window_start"].hour, r["term"]): r["freq"]
             for r in got.collect()}
-    # the 10:00 window closes once the 11:20 data advances the watermark?
-    # availableNow flushes state at stream end, so both windows appear.
-    if data:  # guard: emission depends on final watermark flush semantics
-        assert data.get((10, "альфа"), 3) == 3
+    # append mode emits only watermark-closed windows: the 11:20 batch
+    # advances the watermark to 09:20, so the 10:00 window may legally
+    # still be open at stream end — but anything emitted must be right.
+    for (hour, term), freq in data.items():
+        want = {(10, "альфа"): 3, (10, "бета"): 3,
+                (11, "альфа"): 2}[(hour, term)]
+        assert freq == want
 
 
 def test_stateful_running_term_counts(spark, tmp_path):
