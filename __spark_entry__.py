@@ -247,6 +247,21 @@ def _q_bool_not(spark, sf_dir):
     )
 
 
+def _q_bool_complex(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    q = "(join && fast) || (slow && !vector)"
+    return _r6(_orig_ids(eng, eng.scores_df(q)), "score").select(
+        "doc_id", "score"
+    )
+
+
+def _q_phrase_scored(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    return _r6(_orig_ids(eng, eng.scores_df('"table scan"')), "score").select(
+        "doc_id", "score"
+    )
+
+
 def _q_phrase(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     return _orig_ids(
@@ -553,7 +568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and": _q_bm25_and,
         "bm25_or": _q_bm25_or,
         "bool_not": _q_bool_not,
+        "bool_complex": _q_bool_complex,
         "phrase": _q_phrase,
+        "phrase_scored": _q_phrase_scored,
         "proximity": _q_proximity,
         "suggest": _q_suggest,
         "more_like_this": _q_mlt,
@@ -709,6 +726,48 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS total_documents,
         "bm25_and": bm25_and,
         "bm25_or": bm25_or,
         "bool_not": bool_not,
+        # (join && fast) || (slow && !vector); OR is a full outer join of
+        # the two AND branches, each branch summing its leaves in AST
+        # order (query_eval._eval)
+        "bool_complex": _BM25 + """
+, lhs AS (
+  SELECT a.doc_id, a.s + b.s AS s
+  FROM score a JOIN score b USING (doc_id)
+  WHERE a.term = 'join' AND b.term = 'fast'
+),
+rhs AS (
+  SELECT a.doc_id, a.s + 0.0 AS s
+  FROM score a
+  WHERE a.term = 'slow'
+    AND a.doc_id NOT IN (SELECT doc_id FROM score WHERE term = 'vector')
+)
+SELECT doc_id,
+       round(coalesce(lhs.s, 0.0) + coalesce(rhs.s, 0.0), 6) AS score
+FROM lhs FULL OUTER JOIN rhs USING (doc_id)
+""",
+        # phrase candidates (consecutive ordinals) scored with the sum of
+        # both terms' BM25 contributions
+        "phrase_scored": _BM25 + """
+, raw2 AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+flat2 AS (
+  SELECT doc_id, unnest(arr) AS w, unnest(range(1, len(arr)+1)) AS i
+  FROM raw2
+),
+ot AS (
+  SELECT doc_id, lower(w) AS term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+  FROM flat2 WHERE length(w) BETWEEN 2 AND 50
+),
+cand AS (
+  SELECT DISTINCT a.doc_id FROM ot a JOIN ot b
+    ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
+  WHERE a.term = 'table' AND b.term = 'scan'
+)
+SELECT c.doc_id, round(st.s + ss.s, 6) AS score
+FROM cand c
+JOIN (SELECT doc_id, s FROM score WHERE term = 'table') st USING (doc_id)
+JOIN (SELECT doc_id, s FROM score WHERE term = 'scan') ss USING (doc_id)
+""",
         "phrase": "WITH " + _OTOKS + """
 SELECT DISTINCT a.doc_id
 FROM otoks a JOIN otoks b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
