@@ -86,13 +86,17 @@ def _engine(spark: SparkSession, sf_dir: str):
 
 def _orig_ids(eng, df: DataFrame) -> DataFrame:
     """Map engine doc_ids back to the documents table's doc_id via the
-    docmeta url (robust even if id spaces ever diverge)."""
+    docmeta url (robust even if id spaces ever diverge).
+
+    Plain equi-join on doc_id — docmeta is corpus-sized, so it must
+    never carry a broadcast hint (at 10^12 docs that OOMs the driver);
+    AQE broadcasts whichever side is actually small at runtime."""
     m = eng.docmeta.select(
         F.col("doc_id"),
         F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("_orig"),
     )
     return (
-        df.join(F.broadcast(m), "doc_id")
+        df.join(m, "doc_id")
         .drop("doc_id")
         .withColumnRenamed("_orig", "doc_id")
     )

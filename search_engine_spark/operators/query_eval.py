@@ -376,13 +376,37 @@ class SearchEngine:
                 scores = self._eval(ast, stats)
             out = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         if with_meta:
-            out = out.join(
-                F.broadcast(self.docmeta.select("doc_id", "url", "title")),
-                "doc_id",
-                "left",
-            ).orderBy(F.desc("score"), F.asc("doc_id"))
+            out = self._enrich_hits(out)
         self.query_log.append({"query": query, "wall_ms": (time.time() - t0) * 1000})
         return out
+
+    def _enrich_hits(self, out: DataFrame) -> DataFrame:
+        """Attach (url, title) to a ≤k-row hit frame.
+
+        Scale shape: collect the k hit rows (k ≤ tens — this is the
+        result the caller collects anyway), then push ``doc_id IN (…)``
+        into the docmeta parquet scan so only matching row groups are
+        read, and join tiny-vs-tiny. Never broadcasts or shuffles the
+        corpus-sized docmeta table (at 10^12 docs a docmeta broadcast
+        is a driver/executor OOM)."""
+        hit_rows = out.collect()
+        enriched = T.StructType(
+            list(out.schema.fields)
+            + [
+                T.StructField("url", T.StringType(), True),
+                T.StructField("title", T.StringType(), True),
+            ]
+        )
+        if not hit_rows:
+            return self.spark.createDataFrame([], enriched)
+        ids = [r["doc_id"] for r in hit_rows]
+        hits_local = self.spark.createDataFrame(hit_rows, out.schema)
+        meta = self.docmeta.filter(F.col("doc_id").isin(ids)).select(
+            "doc_id", "url", "title"
+        )
+        return hits_local.join(F.broadcast(meta), "doc_id", "left").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
 
     def count(self, query: str) -> int:
         """Total matching docs (V9) — one plan, no re-evaluation (the
@@ -454,11 +478,25 @@ class SearchEngine:
         cfg = self.cfg
         hits = self.search(query, k, with_meta=True)
         # text lives in the docs stage only (docmeta is text-free — see
-        # index_build.build_docmeta); join the k hit rows against it.
-        docs_text = self.store.read_stage(self.spark, "docs").select(
-            "doc_id", "text"
+        # index_build.build_docmeta). Collect the ≤k hit rows and push
+        # doc_id IN (…) into the docs parquet scan: only matching row
+        # groups are read, and the filtered (≤k-row) side broadcasts —
+        # a tiny-side left join cannot broadcast its right side without
+        # this, so the naive join shuffles the whole text corpus for k
+        # snippets.
+        hit_rows = hits.collect()
+        ids = [r["doc_id"] for r in hit_rows]
+        hits_local = (
+            self.spark.createDataFrame(hit_rows, hits.schema)
+            if hit_rows
+            else hits
         )
-        with_text = hits.join(docs_text, "doc_id", "left")
+        docs_text = (
+            self.store.read_stage(self.spark, "docs")
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "text")
+        )
+        with_text = hits_local.join(F.broadcast(docs_text), "doc_id", "left")
 
         out_schema = T.StructType(
             list(with_text.schema.fields)[:-1]  # drop text

