@@ -470,6 +470,92 @@ def _q_curate(spark, sf_dir):
     return out.select("doc_id")
 
 
+def _q_parse_sources(spark, sf_dir):
+    """E4–E10 through the real dispatch path: wrap each document's text
+    in a deterministic per-source HTML template (doc_id % 4 → wikipedia
+    / habr / stackoverflow / generic), run the parser dispatch, and
+    emit closed-form-checkable columns. The oracle mirrors the
+    templates' known structure in SQL."""
+    from search_engine_spark.functions.source_parsers import (
+        PARSE_SCHEMA,
+        parse_pages_map,
+    )
+
+    d = _docs(spark, sf_dir)
+    mod = F.pmod(F.col("doc_id"), F.lit(4))
+    url = (
+        F.when(mod == 0, F.format_string(
+            "https://en.wikipedia.org/wiki/Doc%d", "doc_id"))
+        .when(mod == 1, F.format_string(
+            "https://habr.com/ru/articles/%d/", "doc_id"))
+        .when(mod == 2, F.format_string(
+            "https://stackoverflow.com/questions/%d", "doc_id"))
+        .otherwise(F.format_string("https://plain.example/doc/%d", "doc_id"))
+    )
+    head = F.format_string(
+        '<head><title>Doc %d</title>'
+        '<meta name="description" content="d%d">'
+        '<meta property="og:type" content="article"></head>',
+        "doc_id", "doc_id",
+    )
+    body = (
+        F.when(mod == 0, F.format_string(
+            '<h1 class="firstHeading">Doc %d — Википедия</h1>'
+            '<div id="mw-content-text"><div class="navbox">drop</div>'
+            '<p>%s</p><a href="/wiki/A">a</a><a href="/wiki/B">b</a>'
+            '<a href="/wiki/File:C">c</a></div>',
+            "doc_id", "text"))
+        .when(mod == 1, F.format_string(
+            '<h1 class="tm-title">Doc %d</h1>'
+            '<div class="tm-article-body">'
+            '<div class="tm-article-poll">poll</div>%s'
+            '<a href="/articles/1/">l</a></div>',
+            "doc_id", "text"))
+        .when(mod == 2, F.format_string(
+            '<h1 itemprop="name">Doc %d</h1>'
+            '<div class="s-prose">%s</div>'
+            '<div class="answer"><div class="s-prose">first answer</div></div>'
+            '<div class="answer"><div class="s-prose">second answer</div></div>',
+            "doc_id", "text"))
+        .otherwise(F.format_string(
+            '<h1>Doc %d</h1><main><p>%s</p></main><a href="/x">l</a>',
+            "doc_id", "text"))
+    )
+    html = F.encode(
+        F.concat(F.lit("<html>"), head, F.lit("<body>"), body,
+                 F.lit("</body></html>")),
+        "utf-8",
+    )
+    pages = d.select(url.alias("url"), html.alias("html"))
+    parsed = pages.mapInPandas(parse_pages_map, schema=PARSE_SCHEMA)
+    return parsed.select(
+        F.regexp_extract("url", r"(\d+)/?$", 1).cast("long").alias("doc_id"),
+        "source",
+        "title",
+        "content",
+        F.col("language").alias("lang_tag"),
+        F.size("links").cast("long").alias("n_links"),
+        "meta_description",
+        F.size("metadata").cast("long").alias("n_meta"),
+    )
+
+
+def _q_url_norm(spark, sf_dir):
+    """E12 through the JVM column path: messy deterministic urls
+    (uppercase scheme/host/path, fragments, missing scheme) normalize
+    to a closed form the oracle states directly."""
+    from search_engine_spark.functions.source_parsers import normalize_url_col
+
+    d = _docs(spark, sf_dir)
+    raw = F.when(
+        F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+        F.format_string("HTTP://Example.COM/Wiki/Doc%d#Section", "doc_id"),
+    ).otherwise(F.format_string("Example.COM/Wiki/Doc%d", "doc_id"))
+    return d.select(
+        "doc_id", normalize_url_col(raw).alias("norm_url")
+    )
+
+
 def _q_regex_search(spark, sf_dir):
     from search_engine_spark.operators.exports import regex_search
 
@@ -598,6 +684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "mm_meta": _q_mm_meta,
         "curate": _q_curate,
+        "parse_sources": _q_parse_sources,
+        "url_norm": _q_url_norm,
         "regex_search": _q_regex_search,
         "index_valid": _q_index_valid,
         "vocab_growth": _q_vocab_growth,
@@ -923,6 +1011,30 @@ exact_kept AS (
 )
 SELECT doc_id FROM exact_kept
 WHERE doc_id NOT IN (SELECT id_b FROM neardup)
+""",
+        "parse_sources": """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'wikipedia' WHEN 1 THEN 'habr'
+            WHEN 2 THEN 'stackoverflow' ELSE 'generic' END AS source,
+       'Doc ' || doc_id AS title,
+       CASE doc_id % 4
+            WHEN 0 THEN text
+            WHEN 1 THEN text || ' l'
+            WHEN 2 THEN text || ' first answer second answer'
+            ELSE CASE WHEN length(text) > 50 THEN text ELSE '' END
+       END AS content,
+       CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'ru'
+            WHEN 2 THEN 'en' ELSE 'unknown' END AS lang_tag,
+       CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 1
+            WHEN 2 THEN 0 ELSE 1 END::BIGINT AS n_links,
+       'd' || doc_id AS meta_description,
+       2::BIGINT AS n_meta
+FROM documents
+""",
+        "url_norm": """
+SELECT doc_id,
+       'http://example.com/wiki/doc' || doc_id AS norm_url
+FROM documents
 """,
         "regex_search": """
 SELECT doc_id FROM documents

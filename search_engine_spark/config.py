@@ -52,6 +52,11 @@ class EngineConfig:
     # extraction
     min_article_length: int = 0        # reference crawl-filter default is 1000 (config.yaml:50);
                                        # 0 here because the engine indexes whatever the table holds
+    normalize_urls: bool = True        # E12 (url_manager.py:57-85): defrag + scheme default +
+                                       # lowercase BEFORE url dedup, as the reference crawler does
+    extract_meta_links: bool = False   # E9/E10: carry metadata map + links array columns in the
+                                       # docs stage (same parse pass; off by default — index/query
+                                       # paths never read them)
 
     # query
     default_top_k: int = 10

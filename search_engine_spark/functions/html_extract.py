@@ -108,6 +108,50 @@ class Node:
                 return el
         return None
 
+    # -- attribute-aware search (the source-parser surface, E4-E8) -----
+    def _matches(self, el: "Node", tags, attrs: Optional[dict]) -> bool:
+        if tags is not None:
+            tset = (tags,) if isinstance(tags, str) else tuple(tags)
+            if el.tag not in tset:
+                return False
+        if attrs:
+            for k, v in attrs.items():
+                if k == "class":
+                    want = (v,) if isinstance(v, str) else tuple(v)
+                    if not any(c in el.classes() for c in want):
+                        return False
+                else:
+                    if el.attrs.get(k) != v:
+                        return False
+        return True
+
+    def find_all_attr(self, tags=None, attrs: Optional[dict] = None
+                      ) -> List["Node"]:
+        """BeautifulSoup-style ``find_all(tag(s), {attr: value})``:
+        ``class`` matches if the element's class list contains ANY of
+        the given class names; other attrs match exactly."""
+        return [el for el in self.iter_elements()
+                if self._matches(el, tags, attrs)]
+
+    def find_attr(self, tags=None, attrs: Optional[dict] = None
+                  ) -> Optional["Node"]:
+        for el in self.iter_elements():
+            if self._matches(el, tags, attrs):
+                return el
+        return None
+
+    def decompose_matching(self, tags, attrs: Optional[dict] = None) -> None:
+        """Remove (subtree incl. text) every descendant matching
+        ``find_all_attr(tags, attrs)`` — BeautifulSoup ``decompose``."""
+        self.children = [
+            c
+            for c in self.children
+            if not (isinstance(c, Node) and self._matches(c, tags, attrs))
+        ]
+        for c in self.children:
+            if isinstance(c, Node):
+                c.decompose_matching(tags, attrs)
+
     def select(self, selector: str) -> List["Node"]:
         """Minimal CSS select: bare tag, ``.class``, ``#id``."""
         out: List[Node] = []

@@ -44,7 +44,6 @@ from pyspark.sql import types as T
 
 from search_engine_spark.config import DEFAULT_CONFIG, EngineConfig
 from search_engine_spark.functions import codec
-from search_engine_spark.functions.html_extract import extract_html
 from search_engine_spark.functions.stemmer import stem_text_token
 from search_engine_spark.functions.tokenizer import doc_term_stats, tokenize_text
 from search_engine_spark.sources.index_store import IndexStore
@@ -72,8 +71,19 @@ def _extract_map(cfg: EngineConfig, dedup_sorted: bool = False):
     keep-first-per-url dedup (E13) happens in the same pass — the
     carried ``last_url`` handles groups spanning Arrow batches."""
     last_url_holder = {"u": None}
+    want_ml = cfg.extract_meta_links
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from search_engine_spark.functions.html_extract import (
+            extract_text,
+            extract_title,
+            parse_html,
+        )
+        from search_engine_spark.functions.source_parsers import (
+            extract_links,
+            extract_metadata,
+        )
+
         for pdf in batches:
             if dedup_sorted and len(pdf):
                 keep = pdf["url"].ne(pdf["url"].shift())
@@ -82,25 +92,30 @@ def _extract_map(cfg: EngineConfig, dedup_sorted: bool = False):
                 last_url_holder["u"] = pdf["url"].iloc[-1]
                 pdf = pdf[keep]
             titles, texts = [], []
+            metas, linkss = [], []
             html_col = pdf["html"] if "html" in pdf.columns else [None] * len(pdf)
             text_col = pdf["text"] if "text" in pdf.columns else [None] * len(pdf)
             title_col = pdf["title"] if "title" in pdf.columns else [None] * len(pdf)
             for html, pre, pre_title in zip(html_col, text_col, title_col):
+                # ONE parse per page shared by title/text/metadata/links
+                root = parse_html(html) if html is not None else None
+                if want_ml:
+                    metas.append(extract_metadata(root) if root else {})
+                    linkss.append(extract_links(root) if root else [])
                 if isinstance(pre, str) and pre:
                     # pre-extracted text present: per-row invariant says it
                     # byte-equals what extraction would produce; trust it and
                     # only pull the title from html if needed.
                     if isinstance(pre_title, str) and pre_title:
                         titles.append(pre_title)
-                    elif html is not None:
-                        titles.append(extract_html(html)[0])
                     else:
-                        titles.append("")
+                        titles.append(extract_title(root) if root else "")
                     texts.append(pre)
                 else:
-                    t, x = extract_html(html)
-                    titles.append(t)
-                    texts.append(x)
+                    titles.append(extract_title(root) if root else "")
+                    # extract_text decomposes the tree — metadata/links
+                    # and the title were read above, before mutation
+                    texts.append(extract_text(root) if root else "")
             out = pd.DataFrame(
                 {
                     "url": pdf["url"],
@@ -111,6 +126,9 @@ def _extract_map(cfg: EngineConfig, dedup_sorted: bool = False):
                     ),
                 }
             )
+            if want_ml:
+                out["metadata"] = metas
+                out["links"] = linkss
             if cfg.min_article_length > 0:
                 out = out[out["text"].str.len() >= cfg.min_article_length]
             yield out
@@ -182,6 +200,16 @@ def build_docs(
     moved the full text column across the cluster twice; this moves it
     once. At 10^12 docs that is the difference between 1× and 2× the
     corpus through the shuffle service."""
+    if cfg.normalize_urls:
+        # E12 (url_manager.py:57-85): defrag + scheme default + lowercase
+        # as a pure column expression BEFORE the dedup shuffle, so
+        # http://X/#frag and http://x/ collapse to one doc. JVM-side —
+        # no Python worker ahead of the shuffle.
+        from search_engine_spark.functions.source_parsers import (
+            normalize_url_col,
+        )
+
+        pages = pages.withColumn("url", normalize_url_col(F.col("url")))
     parts = max(1, min(cfg.index_partitions, 10_000))
     sort_cols = [F.col("url").asc()] + (
         [F.col("warc_ts").asc_nulls_last()] if "warc_ts" in pages.columns else []
@@ -196,6 +224,16 @@ def build_docs(
             T.StructField("text", T.StringType(), True),
             T.StructField("lang", T.StringType(), True),
         ]
+        + (
+            [
+                T.StructField(
+                    "metadata", T.MapType(T.StringType(), T.StringType()), True
+                ),
+                T.StructField("links", T.ArrayType(T.StringType()), True),
+            ]
+            if cfg.extract_meta_links
+            else []
+        )
     )
     from pyspark import StorageLevel
 

@@ -53,12 +53,18 @@ class RefIndex:
     ) -> "RefIndex":
         """rows: dicts with url/title/text (+ optional warc_ts for dedup).
 
-        Dedup: first-by-warc_ts per url (E13); doc_id = rank of url in
-        sorted order (deterministic dense assignment, SURVEY §7.1).
+        Dedup: url normalization (E12, url_manager.py:57-85 — matching
+        cfg.normalize_urls) then first-by-warc_ts per url (E13); doc_id
+        = rank of url in sorted order (deterministic dense assignment,
+        SURVEY §7.1).
         """
+        from search_engine_spark.functions.source_parsers import normalize_url
+
         best: Dict[str, dict] = {}
         for r in rows:
             u = r["url"]
+            if cfg.normalize_urls:
+                u = normalize_url(u) or u
             if u not in best or (
                 r.get("warc_ts") is not None
                 and best[u].get("warc_ts") is not None

@@ -110,6 +110,7 @@ def generate_pages_pdf(
     vocab_size: int = 4000,
     null_text_frac: float = 0.2,
     dup_url_frac: float = 0.02,
+    norm_dup_frac: float = 0.02,
 ) -> pd.DataFrame:
     """Deterministic pandas DataFrame with the `pages` schema."""
     rng = np.random.default_rng(seed)
@@ -144,6 +145,18 @@ def generate_pages_pdf(
             rows.append(
                 (url, ts + _dt.timedelta(days=1),
                  _TEMPLATES[0].format(title="dup", body="duplicate page " * 30).encode("utf-8"),
+                 None, "ru")
+            )
+        if pyrng.random() < norm_dup_frac:
+            # same page behind a fragment/case url variant: E12
+            # normalization (defrag + lowercase) must collapse it
+            variant = (
+                url.replace("doc", "DOC") if pyrng.random() < 0.5
+                else url + "#Section_2"
+            )
+            rows.append(
+                (variant, ts + _dt.timedelta(hours=1),
+                 _TEMPLATES[0].format(title="normdup", body="fragment variant " * 30).encode("utf-8"),
                  None, "ru")
             )
     pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
