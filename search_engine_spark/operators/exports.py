@@ -120,6 +120,75 @@ def export_results_json(engine, query: str, out_path: str,
     return out
 
 
+def flat_text_export(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    single_file: bool = False,
+    partitions: int = 8,
+) -> DataFrame:
+    """S5 (scripts/export_to_cpp.py:77-153): one line per doc
+    ``"{title}. {content}"`` (fields trimmed, ``\\n``→space, ``\\r``
+    dropped), docs with empty content skipped, plus a
+    ``metadata.json``-shaped sidecar mapping the export ordinal to
+    (title, url, source doc_id). The export ordinal renumbers the
+    surviving docs densely in doc_id order — the reference numbers by
+    cursor order; doc_id order is our deterministic equivalent.
+
+    Lines are written under ``out_dir/documents/`` as ordered part
+    files (part order × in-part order == ordinal order) and the sidecar
+    under ``out_dir/metadata/`` as JSON rows; ``single_file=True``
+    coalesces both to one part (driver-friendly, small exports only).
+    Returns the (export_id, line, title, url, doc_id) frame."""
+    from search_engine_spark.operators.index_build import (
+        _add_partition_offset_ids,
+    )
+
+    line = F.regexp_replace(
+        F.regexp_replace(
+            F.concat_ws(
+                "",
+                F.trim(F.coalesce(F.col("title"), F.lit(""))),
+                F.lit(". "),
+                F.trim(F.col("text")),
+            ),
+            "\n",
+            " ",
+        ),
+        "\r",
+        "",
+    )
+    src = (
+        docs.filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select(
+            F.col("doc_id").alias("src_doc_id"),
+            "url",
+            F.trim(F.coalesce(F.col("title"), F.lit(""))).alias("title"),
+            line.alias("line"),
+        )
+    )
+    parts = max(1, partitions)
+    ranged = (
+        src.repartitionByRange(parts, "src_doc_id")
+        .sortWithinPartitions("src_doc_id")
+        .persist()
+    )
+    numbered = _add_partition_offset_ids(spark, ranged, col_name="export_id")
+    out = numbered.select(
+        "export_id", "line", "title", "url",
+        F.col("src_doc_id").alias("doc_id"),
+    )
+    writer_docs = out.select(F.col("line").alias("value"))
+    writer_meta = out.select("export_id", "title", "url", "doc_id")
+    if single_file:
+        writer_docs = writer_docs.coalesce(1)
+        writer_meta = writer_meta.coalesce(1)
+    writer_docs.write.mode("overwrite").text(os.path.join(out_dir, "documents"))
+    writer_meta.write.mode("overwrite").json(os.path.join(out_dir, "metadata"))
+    ranged.unpersist()
+    return out
+
+
 def regex_search(docs: DataFrame, pattern: str,
                  not_pattern: Optional[str] = None,
                  text_col: str = "text", k: Optional[int] = None) -> DataFrame:

@@ -152,8 +152,9 @@ def assign_doc_ids(spark: SparkSession, docs: DataFrame, partitions: int) -> Dat
     return assigned
 
 
-def _add_partition_offset_ids(spark: SparkSession, ranged: DataFrame) -> DataFrame:
-    """Two-pass dense ordinal ids over an already-url-sorted, persisted
+def _add_partition_offset_ids(spark: SparkSession, ranged: DataFrame,
+                              col_name: str = "doc_id") -> DataFrame:
+    """Two-pass dense ordinal ids over an already-sorted, persisted
     frame: per-partition counts → broadcast offsets → ordinal add."""
     counts = (
         ranged.withColumn("_pid", F.spark_partition_id())
@@ -168,7 +169,7 @@ def _add_partition_offset_ids(spark: SparkSession, ranged: DataFrame) -> DataFra
         acc += row["count"]
 
     out_schema = T.StructType(
-        [T.StructField("doc_id", T.LongType(), False)] + list(ranged.schema.fields)
+        [T.StructField(col_name, T.LongType(), False)] + list(ranged.schema.fields)
     )
 
     def add_ids(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -181,7 +182,7 @@ def _add_partition_offset_ids(spark: SparkSession, ranged: DataFrame) -> DataFra
             ids = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
             seen += len(pdf)
             pdf = pdf.copy()
-            pdf.insert(0, "doc_id", ids)
+            pdf.insert(0, col_name, ids)
             yield pdf
 
     return ranged.mapInPandas(add_ids, schema=out_schema)

@@ -34,7 +34,7 @@ from typing import Dict, Iterable, Iterator, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -133,25 +133,30 @@ class SearchEngine:
         )
 
     def _term_scores_topk_pruned(self, term: str, df: int, k: int) -> DataFrame:
-        """Two-phase exact block-max top-k for a single-term query."""
+        """Two-phase exact block-max top-k for a single-term query.
+
+        Phase-1 block selection is a distributed TakeOrdered of the top
+        k blocks by (max_score desc, block_id) — every block holds ≥1
+        doc, so the minimal covering prefix is always within the first
+        k blocks; the old global-window cumulative sum ran the whole
+        term's block metadata through one task (VERDICT r1 #5)."""
         idf = self.idf(df)
         meta = self.blocks.filter(F.col("term") == term).select(
             "block_id", "doc_count", "max_score"
         )
-        w = Window.orderBy(F.col("max_score").desc(), F.col("block_id"))
-        ranked = meta.withColumn(
-            "cum", F.sum("doc_count").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        ).withColumn("rank", F.row_number().over(w))
-        # smallest prefix of blocks (by max_score desc) covering >= k docs
-        first_cover = (
-            ranked.filter(F.col("cum") >= k).agg(F.min("rank").alias("r")).collect()
-        )[0]["r"]
-        if first_cover is None:
-            return self._term_scores(term, df)
-        phase1_ids = [
-            r["block_id"]
-            for r in ranked.filter(F.col("rank") <= first_cover).collect()
-        ]
+        top_meta = (
+            meta.orderBy(F.desc("max_score"), F.asc("block_id"))
+            .limit(k)
+            .collect()
+        )
+        phase1_ids, cum = [], 0
+        for r in top_meta:
+            phase1_ids.append(r["block_id"])
+            cum += r["doc_count"]
+            if cum >= k:
+                break
+        if cum < k:
+            return self._term_scores(term, df)  # tiny list; no pruning value
         dec = _decode_score_map(idf, self.cfg.k1, self.cfg.b, self.avgdl)
         p1 = (
             self.blocks.filter(
@@ -235,6 +240,162 @@ class SearchEngine:
             if l is not None and r is not None:
                 return l + r
         return None
+
+    @staticmethod
+    def _flatten_or_terms(node: qp.Node) -> Optional[List[str]]:
+        """If the AST is a pure disjunction of plain terms, return them."""
+        if isinstance(node, qp.Term):
+            return [node.term]
+        if isinstance(node, qp.Or):
+            l = SearchEngine._flatten_or_terms(node.left)
+            r = SearchEngine._flatten_or_terms(node.right)
+            if l is not None and r is not None:
+                return l + r
+        return None
+
+    def _decode_score_map_multi(self, idfs: Dict[str, float]):
+        """Multi-term block decoder: per-row idf looked up by term."""
+        k1, b, avgdl = self.cfg.k1, self.cfg.b, self.avgdl
+
+        def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs_d, outs_s = [], []
+                for term, gaps, tfb, dlb in zip(
+                    pdf["term"], pdf["doc_gaps"], pdf["tfs"], pdf["dls"]
+                ):
+                    d, t, dl = codec.decode_block(
+                        bytes(gaps), bytes(tfb), bytes(dlb)
+                    )
+                    outs_d.append(d)
+                    outs_s.append(
+                        idfs[term] * codec.bm25_stf(t, dl, avgdl, k1, b)
+                    )
+                if outs_d:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(outs_d),
+                            "score": np.concatenate(outs_s),
+                        }
+                    )
+
+        return fn
+
+    def _or_scores_block_pruned(
+        self, terms: List[str], stats: Dict[str, Tuple[int, int]], k: int
+    ) -> DataFrame:
+        """Exact top-k-valid OR scoring with block-max (WAND-style)
+        pruning — extends the single-term two-phase scheme to
+        disjunctions using the stored per-block ``max_score`` bounds.
+
+        Phase 1 decodes each term's top-k blocks (per-term window, not
+        a global one) and takes the k-th best PARTIAL sum as θ — a
+        lower bound on the true k-th best full score. Phase 2 keeps
+        block b of term t iff ``max_score_b ≥ θ − Σ_{t'≠t} U_{t'}``
+        (U_t = term t's best block bound): any block containing a doc
+        with full score ≥ θ satisfies this, so every potential top-k
+        doc's score is computed EXACTLY from surviving blocks; docs
+        that lose pruned contributions are provably below θ and cannot
+        displace the top-k. The per-term keep predicate is a pushable
+        (term, max_score) conjunction on the block scan.
+
+        Returns (doc_id, score) valid for top-k consumption only —
+        below-θ docs may carry partial sums (``search`` applies
+        ``limit(k)``; the full-result ``scores_df`` path never routes
+        here).
+        """
+        from pyspark.sql import Window
+
+        terms = [t for t in terms if stats.get(t, (0, 0))[0] > 0]
+        idfs = {t: self.idf(stats[t][0]) for t in terms}
+        if not terms:
+            return self.spark.createDataFrame([], _SCORE_SCHEMA)
+        meta = self.blocks.filter(F.col("term").isin(terms)).select(
+            "term", "block_id", "doc_count", "max_score"
+        )
+        U = {
+            r["term"]: r["mx"]
+            for r in meta.groupBy("term")
+            .agg(F.max("max_score").alias("mx"))
+            .collect()
+        }
+        u_total = sum(U.values())
+        dec = self._decode_score_map_multi(idfs)
+        blk_cols = ["term", "doc_gaps", "tfs", "dls"]
+
+        # phase 1: per-term top-k blocks (partitioned window — bounded)
+        w = Window.partitionBy("term").orderBy(
+            F.desc("max_score"), F.asc("block_id")
+        )
+        p1_rows = (
+            meta.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .collect()
+        )
+        p1_by_term: Dict[str, List[int]] = {}
+        for r in p1_rows:
+            p1_by_term.setdefault(r["term"], []).append(r["block_id"])
+        p1_pred = reduce(
+            lambda a, c: a | c,
+            [
+                (F.col("term") == t) & F.col("block_id").isin(ids)
+                for t, ids in p1_by_term.items()
+            ],
+        )
+        p1_scores = (
+            self.blocks.filter(F.col("term").isin(terms))
+            .filter(p1_pred)
+            .select(*blk_cols)
+            .mapInPandas(dec, schema=_SCORE_SCHEMA)
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+        )
+        topk1 = (
+            p1_scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        )
+        total_blocks = sum(
+            (stats[t][0] + self.cfg.block_size - 1) // self.cfg.block_size
+            for t in terms
+        )
+        if len(topk1) < k:
+            # fewer than k candidates in the best blocks → no safe θ;
+            # decode everything (still one multi-term pass)
+            self._last_wand_stats = {
+                "total_blocks": total_blocks,
+                "decoded_blocks": total_blocks,
+                "theta": None,
+            }
+            return (
+                self.blocks.filter(F.col("term").isin(terms))
+                .select(*blk_cols)
+                .mapInPandas(dec, schema=_SCORE_SCHEMA)
+                .groupBy("doc_id")
+                .agg(F.sum("score").alias("score"))
+            )
+        theta = topk1[-1]["score"]
+        # epsilon slack: (a+b)−a ≠ b in doubles; keeping extra blocks is
+        # always safe, pruning a tying block is not
+        eps = 1e-9 * (1.0 + abs(theta))
+        keep_pred = reduce(
+            lambda a, c: a | c,
+            [
+                (F.col("term") == t)
+                & (F.col("max_score") >= theta - (u_total - U[t]) - eps)
+                for t in terms
+            ],
+        )
+        self._last_wand_stats = {
+            "total_blocks": total_blocks,
+            "decoded_blocks": meta.filter(keep_pred).count(),
+            "theta": theta,
+        }
+        return (
+            self.blocks.filter(F.col("term").isin(terms))
+            .filter(keep_pred)
+            .select(*blk_cols)
+            .mapInPandas(dec, schema=_SCORE_SCHEMA)
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+        )
 
     def _and_scores_block_pruned(
         self, terms: List[str], stats: Dict[str, Tuple[int, int]]
@@ -372,6 +533,13 @@ class SearchEngine:
                 and max(nb(t) for t in and_terms) > self.cfg.wand_min_blocks
             ):
                 scores = self._and_scores_block_pruned(and_terms, stats)
+            elif (
+                (or_terms := self._flatten_or_terms(ast)) is not None
+                and len(or_terms) > 1
+                and len(set(or_terms)) == len(or_terms)  # dup terms sum twice
+                and max(nb(t) for t in or_terms) > self.cfg.wand_min_blocks
+            ):
+                scores = self._or_scores_block_pruned(or_terms, stats, k)
             else:
                 scores = self._eval(ast, stats)
             out = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -78,9 +78,13 @@ class IncrementalIndexer:
 
     # -- the foreachBatch body -------------------------------------------
     def _process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from search_engine_spark.functions.source_parsers import (
+            normalize_url_col,
+        )
         from search_engine_spark.operators.index_build import (
             build_postings,
             dedup_pages,
+            _add_partition_offset_ids,
             _extract_map,
         )
 
@@ -96,27 +100,32 @@ class IncrementalIndexer:
                 T.StructField("lang", T.StringType(), True),
             ]
         )
+        if self.cfg.normalize_urls:
+            batch = batch.withColumn("url", normalize_url_col(F.col("url")))
         deduped = dedup_pages(batch)
         if st["segments"]:
             # cross-segment dedup: first writer wins across epochs too
             seen = self.docmeta().select("url")
             deduped = deduped.join(seen, "url", "left_anti")
-        extracted = (
-            deduped
-            .mapInPandas(_extract_map(self.cfg), schema=extract_schema)
-            .orderBy("url")  # deterministic intra-batch id order
-            # micro-batches are bounded (maxFilesPerTrigger), so a single
-            # partition for id assignment is fine; a huge backfill epoch
-            # would use index_build.assign_doc_ids' two-pass offsets.
-            .coalesce(1)
-            .withColumn(
-                "doc_id",
-                F.monotonically_increasing_id() + F.lit(st["next_doc_id"]),
-            )
+        # deterministic dense ids continuing from the high-water mark,
+        # assigned with the SAME two-pass per-partition-offset scheme as
+        # the batch build (url-range partitions stay parallel — the old
+        # coalesce(1) serialized every epoch; a backfill epoch then ran
+        # one task for the whole corpus slice).
+        parts = max(2, min(self.cfg.index_partitions, 64))
+        ranged = (
+            deduped.mapInPandas(_extract_map(self.cfg), schema=extract_schema)
+            .repartitionByRange(parts, "url")
+            .sortWithinPartitions("url")
+            .persist()
         )
-        docs = extracted.select("doc_id", "url", "title", "lang", "text")
+        assigned = _add_partition_offset_ids(self.spark, ranged).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(int(st["next_doc_id"]))
+        )
+        docs = assigned.select("doc_id", "url", "title", "lang", "text")
         docs.persist()
         n = docs.count()
+        ranged.unpersist()
         postings = build_postings(docs, self.cfg)
         seg_dir = os.path.join(self.dir, "segments", seg)
         # overwrite → idempotent on epoch replay after a crash
@@ -213,7 +222,10 @@ class IncrementalIndexer:
         t0 = time.time()
         store.write_stage("docs", meta.drop("doc_len", "unique_terms"), t0)
         store.write_stage("postings", postings, t0)
-        store.write_stage("docmeta", meta, t0)
+        # docmeta stores NO text (matching build_docmeta / index_store
+        # layout): text lives once, in the docs stage — writing meta
+        # verbatim here would store the corpus text twice at rest
+        store.write_stage("docmeta", meta.drop("text"), t0)
         dictionary = build_dictionary(postings)
         store.write_stage("dictionary", dictionary, t0)
         agg = meta.agg(

@@ -179,3 +179,35 @@ def test_per_group_stats(spark):
     assert got["en"]["n_docs"] == 2 and got["en"]["sum_chars"] == 6
     assert got["en"]["avg_chars"] == pytest.approx(3.0)
     assert got["de"]["n_docs"] == 1
+
+
+def test_zipf_rank_two_pass_matches_window(spark):
+    """Forced two-pass ordinal (window_threshold=0) must rank exactly
+    like the window path, with no single-partition WindowExec."""
+    import random
+
+    from search_engine_spark.operators.analytics import zipf_rank_table
+
+    rng = random.Random(3)
+    rows = [(f"t{i:04d}", rng.randint(1, 50)) for i in range(500)]
+    freqs = spark.createDataFrame(rows, "term string, freq long")
+    win = {(r["term"]): (r["rank"], r["freq"])
+           for r in zipf_rank_table(freqs).collect()}
+    two = zipf_rank_table(freqs, window_threshold=0)
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    got = {(r["term"]): (r["rank"], r["freq"]) for r in two.collect()}
+    assert got == win
+
+
+def test_gini_two_pass_matches_window(spark):
+    import random
+
+    from search_engine_spark.operators.analytics import gini
+
+    rng = random.Random(4)
+    rows = [(f"t{i:04d}", rng.randint(1, 50)) for i in range(300)]
+    freqs = spark.createDataFrame(rows, "term string, freq long")
+    a = gini(freqs).collect()[0]["gini"]
+    b = gini(freqs, window_threshold=0).collect()[0]["gini"]
+    assert abs(a - b) < 1e-12

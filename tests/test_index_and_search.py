@@ -206,3 +206,42 @@ def test_and_block_pruning_rank_identical(built):
     ]
     want = oracle.search(f"{t1} && {t2}", 10)
     assert [d for d, _ in got] == [d for d, _, in want]
+
+
+def test_or_wand_matches_full_eval_and_prunes(spark, tmp_path):
+    """Multi-term OR with block-max pruning: rank-identical to the full
+    evaluation, decoding strictly fewer blocks (VERDICT r1 #9).
+
+    Corpus shape that makes pruning provable: 30 docs carry both terms
+    with high tf (top-k lives here), 200 long docs carry only the
+    common term with tf=1 — their blocks' max_score falls below
+    θ − U_aa and must be skipped."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(30):
+        rows.append((f"http://a/{i:04d}", "aa bb " * 5))
+    filler = " ".join(f"w{j:02d}" for j in range(40))
+    for i in range(200):
+        rows.append((f"http://b/{i:04d}", "bb " + filler))
+    pages = spark.createDataFrame(
+        [(u, None, None, t, "ru") for u, t in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    cfg = EngineConfig(index_partitions=4, block_size=4, wand_min_blocks=2)
+    out = str(tmp_path / "idx")
+    build_index(spark, pages, out, cfg)
+    eng = SearchEngine(spark, out, cache=False)
+    q = "aa || bb"
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in eng.search(q, 10, with_meta=False).collect()
+    ]
+    want_df = (
+        eng.scores_df(q).orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    )
+    want = [(r["doc_id"], round(r["score"], 9)) for r in want_df.collect()]
+    assert got == want
+    st = eng._last_wand_stats
+    assert st["theta"] is not None
+    assert 0 < st["decoded_blocks"] < st["total_blocks"], st

@@ -65,6 +65,31 @@ def test_incremental_ingest_and_search(spark, tmp_path):
     assert ixer._read_state()["next_doc_id"] == 10
 
 
+def test_streaming_parallel_id_assignment(spark, tmp_path):
+    """A multi-file epoch assigns ids in >1 task (two-pass offsets, no
+    coalesce(1)) and still yields dense url-ordered ids."""
+    import glob
+
+    landing = str(tmp_path / "landing")
+    idx = str(tmp_path / "idx")
+    os.makedirs(landing)
+    text = lambda i: f"омега пси doc{i} токен"
+    for lo in (0, 4, 8):
+        _write_batch(spark, landing, _rows(range(lo, lo + 4), text))
+
+    ixer = IncrementalIndexer(spark, idx, CFG)
+    ixer.start(landing).awaitTermination(120)
+    st = ixer._read_state()
+    assert st["next_doc_id"] == 12
+    rows = ixer.docmeta().orderBy("url").collect()
+    assert [r["doc_id"] for r in rows] == list(range(12))  # url-ordered dense
+    # the id/write stage ran with >1 partition: the segment's postings
+    # parquet has more than one part file
+    seg = st["segments"][0]
+    parts = glob.glob(os.path.join(idx, "segments", seg, "postings", "part-*"))
+    assert len(parts) > 1, parts
+
+
 def test_compact_matches_batch_search(spark, tmp_path):
     from search_engine_spark.operators.query_eval import SearchEngine
 
@@ -85,6 +110,10 @@ def test_compact_matches_batch_search(spark, tmp_path):
     bat = [(r["doc_id"], round(r["score"], 9))
            for r in eng.search("тест", 8, with_meta=False).collect()]
     assert inc == bat  # segment search ≡ compacted block search
+
+    # layout invariant: text lives ONCE (docs stage); docmeta is text-free
+    assert "text" not in store.read_stage(spark, "docmeta").columns
+    assert "text" in store.read_stage(spark, "docs").columns
 
 
 def test_streaming_windowed_term_counts(spark, tmp_path):
