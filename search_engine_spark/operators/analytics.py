@@ -264,6 +264,108 @@ def plot_zipf(ranked: DataFrame, out_path: str, top: int = 1000) -> bool:
     return True
 
 
+def _try_matplotlib():
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        return plt
+    except ImportError:
+        return None
+
+
+def _dump_plot_data(out_path: str, payload: dict) -> None:
+    import json
+
+    with open(out_path + ".json", "w") as f:
+        json.dump(payload, f, indent=1, ensure_ascii=False)
+
+
+def plot_rank_frequency_bars(ranked: DataFrame, out_path: str,
+                             top: int = 20) -> bool:
+    """Z13b (visualizer.py:106-148): top-n term frequency bar chart.
+    The aggregate slice is driver-sized; when matplotlib is absent
+    (this container) the plot DATA is written to ``out_path.json`` and
+    False is returned — the Spark-side computation is identical."""
+    rows = ranked.orderBy("rank").limit(top).collect()
+    data = {
+        "terms": [r["term"] for r in rows],
+        "freqs": [int(r["freq"]) for r in rows],
+    }
+    plt = _try_matplotlib()
+    if plt is None:
+        _dump_plot_data(out_path, data)
+        return False
+    fig, ax = plt.subplots(figsize=(12, 8))
+    ax.bar(range(len(data["terms"])), data["freqs"])
+    ax.set_xticks(range(len(data["terms"])))
+    ax.set_xticklabels(data["terms"], rotation=45, ha="right")
+    ax.set_ylabel("frequency")
+    ax.set_title(f"Top-{top} term frequencies")
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+    return True
+
+
+def plot_vocabulary_growth(growth: DataFrame, out_path: str) -> bool:
+    """Z13c (visualizer.py:151-211): vocabulary-growth curves — vocab
+    size vs docs and vs cumulative tokens (two panels). Same
+    matplotlib-or-data-file contract as the other plots."""
+    rows = growth.orderBy("doc_rank").collect()
+    data = {
+        "doc_rank": [int(r["doc_rank"]) for r in rows],
+        "cum_tokens": [int(r["cum_tokens"]) for r in rows],
+        "vocab_size": [int(r["vocab_size"]) for r in rows],
+    }
+    plt = _try_matplotlib()
+    if plt is None:
+        _dump_plot_data(out_path, data)
+        return False
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(14, 6))
+    ax1.plot(data["doc_rank"], data["vocab_size"])
+    ax1.set_xlabel("documents")
+    ax1.set_ylabel("vocabulary size")
+    ax2.plot(data["cum_tokens"], data["vocab_size"])
+    ax2.set_xlabel("cumulative tokens")
+    ax2.set_ylabel("vocabulary size")
+    fig.suptitle("Vocabulary growth")
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+    return True
+
+
+def plot_distribution_comparison(ranked: DataFrame, out_path: str,
+                                 top: int = 1000) -> bool:
+    """Z13d (visualizer.py:216-255): actual vs fitted-Zipf expected
+    frequencies on the top slice (log-log)."""
+    fit = zipf_fit(ranked).collect()[0]
+    rows = ranked.orderBy("rank").limit(top).collect()
+    c, s = float(fit["c"]), float(fit["s"])
+    data = {
+        "ranks": [int(r["rank"]) for r in rows],
+        "actual": [int(r["freq"]) for r in rows],
+        "expected": [c / (int(r["rank"]) ** s) for r in rows],
+        "c": c,
+        "s": s,
+        "r2": float(fit["r2"]),
+    }
+    plt = _try_matplotlib()
+    if plt is None:
+        _dump_plot_data(out_path, data)
+        return False
+    fig, ax = plt.subplots(figsize=(10, 6))
+    ax.loglog(data["ranks"], data["actual"], ".", label="actual")
+    ax.loglog(data["ranks"], data["expected"], "-", label="fitted Zipf")
+    ax.legend()
+    ax.set_xlabel("rank")
+    ax.set_ylabel("frequency")
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+    return True
+
+
 def per_group_stats(docs: DataFrame, group_col: str) -> DataFrame:
     """Z11/Z12: per-group doc counts + content-length stats (the
     reference's Mongo $group pipelines, database_handler.py:283-326)."""

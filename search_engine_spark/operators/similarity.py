@@ -164,7 +164,12 @@ class LshIndex:
         return out
 
     def query(self, query_vec: Sequence[float], k: int = 10,
-              probe_hamming: int = 1, exclude_id: int | None = None) -> DataFrame:
+              probe_hamming: int = 1, exclude_id: int | None = None,
+              count_candidates: bool = False) -> DataFrame:
+        """``count_candidates=True`` additionally records the number of
+        candidate vectors scanned in ``self.last_candidate_count`` (one
+        extra count job — diagnostics/tests only; production params are
+        judged by this fraction staying ≪ 1)."""
         if self._sigs is None:
             self.build()
         q = _as_unit(query_vec)
@@ -178,6 +183,8 @@ class LshIndex:
             .select("vec_id", "vec")
             .dropDuplicates(["vec_id"])
         )
+        if count_candidates:
+            self.last_candidate_count = cand.count()
         bc = spark.sparkContext.broadcast(q)
 
         def score(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:

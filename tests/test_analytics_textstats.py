@@ -211,3 +211,42 @@ def test_gini_two_pass_matches_window(spark):
     a = gini(freqs).collect()[0]["gini"]
     b = gini(freqs, window_threshold=0).collect()[0]["gini"]
     assert abs(a - b) < 1e-12
+
+
+def test_plot_data_fallbacks(spark, tmp_path):
+    """Z13 plots: matplotlib is absent in this container, so each plot
+    writes its (driver-sized) data payload and returns False — the
+    Spark-side aggregation is exercised either way."""
+    import json
+
+    from search_engine_spark.operators.analytics import (
+        plot_distribution_comparison,
+        plot_rank_frequency_bars,
+        plot_vocabulary_growth,
+        vocabulary_growth,
+        zipf_rank_table,
+    )
+
+    rows = [(f"t{i:03d}", 1000 // (i + 1)) for i in range(50)]
+    freqs = spark.createDataFrame(rows, "term string, freq long")
+    ranked = zipf_rank_table(freqs)
+
+    p1 = str(tmp_path / "bars.png")
+    assert plot_rank_frequency_bars(ranked, p1, top=10) is False
+    d1 = json.load(open(p1 + ".json"))
+    assert len(d1["terms"]) == 10 and d1["freqs"][0] == 1000
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(5)], "doc_id long, text string"
+    )
+    growth = vocabulary_growth(docs, points=5)
+    p2 = str(tmp_path / "growth.png")
+    assert plot_vocabulary_growth(growth, p2) is False
+    d2 = json.load(open(p2 + ".json"))
+    assert d2["doc_rank"] == [1, 2, 3, 4, 5]
+    assert d2["vocab_size"][-1] == 3
+
+    p3 = str(tmp_path / "cmp.png")
+    assert plot_distribution_comparison(ranked, p3, top=20) is False
+    d3 = json.load(open(p3 + ".json"))
+    assert len(d3["actual"]) == 20 and d3["s"] > 0

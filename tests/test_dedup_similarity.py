@@ -155,3 +155,31 @@ def test_embedding_pairs_lsh_finds_planted(spark):
                                      tables=8).collect()
     }
     assert (17, 42) in got
+
+
+def test_lsh_production_params_recall_and_pruning(spark):
+    """Production LSH parameters (planes=16 — not the gate's dense
+    4-plane probe): planted strong neighbors are recalled exactly while
+    the candidate set stays a small fraction of the table
+    (VERDICT r1 #6)."""
+    from search_engine_spark.operators.similarity import LshIndex, cosine_topk
+
+    rng = np.random.RandomState(21)
+    n, dim = 2000, 32
+    vecs = rng.normal(size=(n, dim))
+    for i in range(1, 11):  # 10 tight neighbors of vec 0 (cos ≈ 0.995)
+        vecs[i] = vecs[0] + 0.05 * rng.normal(size=dim)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = [r["vec_id"] for r in cosine_topk(
+        emb, rows[0][1], k=10, exclude_id=0).collect()]
+    assert set(exact) == set(range(1, 11))  # the planted cluster IS top-10
+
+    idx = LshIndex(emb, planes=16, tables=8)
+    got = [r["vec_id"] for r in idx.query(
+        rows[0][1], k=10, probe_hamming=1, exclude_id=0,
+        count_candidates=True).collect()]
+    assert got == exact  # rank-identical at production parameters
+    # and it actually pruned: candidates ≪ table size
+    assert idx.last_candidate_count < 0.1 * n, idx.last_candidate_count

@@ -150,3 +150,22 @@ def test_text_file_source_roundtrip(spark, built, tmp_path):
                  for r in eng_c.search(q, 10, with_meta=False).collect()]
         assert got_b == got_c, q
         assert got_b  # queries actually hit
+
+
+def test_cli_repl_in_process(spark, built):
+    """scripts/search_cli.py REPL shape over streams (main.cpp:27-90)."""
+    import io
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import search_cli
+
+    _, eng = built
+    inp = io.StringIO("\nматематика\nquit\nnever reached\n")
+    out = io.StringIO()
+    n = search_cli.repl(eng, 5, inp, out)
+    assert n == 1  # blank skipped, quit stops before the last line
+    text = out.getvalue()
+    assert "Interactive Search Mode" in text
+    assert "Found" in text and "Document #" in text
+    assert "Title:" in text and "URL:" in text and "Snippet:" in text
