@@ -376,6 +376,25 @@ def _q_dedup_simhash(spark, sf_dir):
     )
 
 
+def _q_dup_components(spark, sf_dir):
+    """Near-dup clusters as connected components over exact-Jaccard
+    pairs; component id = min doc_id (the canonical doc). Singletons
+    map to themselves — the full-corpus canonicalization a training
+    pipeline needs (keep one doc per component)."""
+    from search_engine_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    comp = connected_components(pairs, nodes=docs.select("doc_id"))
+    return comp.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def _q_embed_top_pairs(spark, sf_dir):
     from search_engine_spark.operators.dedup import embedding_pairs_exact
 
@@ -540,6 +559,32 @@ def _q_parse_sources(spark, sf_dir):
     )
 
 
+def _q_alt_simple_tokens(spark, sf_dir):
+    """T8a alternate tokenizer (simple_python_search.py:33-39): per-doc
+    distinct \\w+ token-set size."""
+    from search_engine_spark.operators.textstats import simple_regex_tokens
+
+    out = simple_regex_tokens(_docs(spark, sf_dir))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.size("terms").cast("long").alias("n_simple"),
+    )
+
+
+def _q_alt_zipf_freq(spark, sf_dir):
+    """T8b alternate tokenizer (zipf_analyzer.py:63-71): top-30 term
+    frequencies under the Zipf module's sloppier tokenization."""
+    from search_engine_spark.operators.textstats import zipf_alt_tokens
+
+    return (
+        zipf_alt_tokens(_docs(spark, sf_dir))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(30)
+    )
+
+
 def _q_url_norm(spark, sf_dir):
     """E12 through the JVM column path: messy deterministic urls
     (uppercase scheme/host/path, fragments, missing scheme) normalize
@@ -674,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": _q_dedup_ngram,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dup_components": _q_dup_components,
         "embed_top_pairs": _q_embed_top_pairs,
         "ann_brute": _q_ann_brute,
         "ann_lsh": _q_ann_lsh,
@@ -686,6 +732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": _q_curate,
         "parse_sources": _q_parse_sources,
         "url_norm": _q_url_norm,
+        "alt_simple_tokens": _q_alt_simple_tokens,
+        "alt_zipf_freq": _q_alt_zipf_freq,
         "regex_search": _q_regex_search,
         "index_valid": _q_index_valid,
         "vocab_growth": _q_vocab_growth,
@@ -942,6 +990,33 @@ FROM documents GROUP BY md5(text)
         "dedup_ngram": _JACCARD_PAIRS,
         "dedup_minhash": _JACCARD_PAIRS,
         "dedup_simhash": _JACCARD_PAIRS,
+        # connected components over the same exact-Jaccard pairs via a
+        # recursive CTE (min reachable label per node)
+        "dup_components": _SHINGLES.replace("WITH ", "WITH RECURSIVE ", 1)
+        + """,
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN shn na ON na.doc_id = id_a
+  JOIN shn nb ON nb.doc_id = id_b
+  WHERE i * 1.0 / (na.n_sh + nb.n_sh - i) >= 0.8
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(lbl)::BIGINT AS component
+FROM reach GROUP BY node
+""",
         "embed_top_pairs": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[],
@@ -1035,6 +1110,27 @@ FROM documents
 SELECT doc_id,
        'http://example.com/wiki/doc' || doc_id AS norm_url
 FROM documents
+""",
+        # corpus text is lowercase ASCII, so RE2's ASCII \\w == Python's
+        # unicode \\w here
+        "alt_simple_tokens": r"""
+SELECT d.doc_id, coalesce(s.n, 0)::BIGINT AS n_simple
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(DISTINCT t) AS n FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS t
+    FROM documents
+  ) WHERE length(t) >= 2 GROUP BY doc_id
+) s USING (doc_id)
+""",
+        "alt_zipf_freq": r"""
+WITH raw AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
+),
+kept AS (
+  SELECT trim(w, '.,!?;:"''()[]{}') AS term FROM raw WHERE length(w) > 2
+)
+SELECT term, count(*)::BIGINT AS freq FROM kept
+GROUP BY term ORDER BY freq DESC, term ASC LIMIT 30
 """,
         "regex_search": """
 SELECT doc_id FROM documents

@@ -89,10 +89,20 @@ def generate_corpus(spark, n_docs: int, out: str, chunk: int = 4000) -> int:
 
 
 def run_build(cpus: int, corpus: str, zip_path: str,
-              partitions: int = 32) -> dict:
+              partitions: int = 32, pin: bool = False) -> dict:
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     out_dir = tempfile.mkdtemp(prefix=f"se_scale_idx_{cpus}_", dir=base)
-    cmd = [
+    cmd = []
+    if pin:
+        # Pin the whole process tree (JVM + python workers) to exactly
+        # `cpus` physical cores. Without this, local[1]'s background JVM
+        # threads (GC, shuffle writers, Arrow IPC) run FREE on the other
+        # 31 cores — measured 1.2 system cores busy during a "1-core"
+        # run — which understates T1 and therefore the N→4N efficiency.
+        # An N-core cluster executor gets N cores, full stop; taskset is
+        # the faithful sandbox equivalent.
+        cmd += ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"]
+    cmd += [
         "spark-submit",
         "--master", f"local[{cpus}]",
         "--driver-memory", "24g",
@@ -127,6 +137,9 @@ def main() -> int:
                     help="runs per level; best wall is reported (microVM "
                          "noise is strictly additive)")
     ap.add_argument("--corpus", default=None)
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset the run to exactly N cores (see "
+                         "run_build docstring)")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
     args = ap.parse_args()
 
@@ -150,7 +163,7 @@ def main() -> int:
     samples = {n_lo: [], n_hi: []}
     for trial in range(args.trials):
         for cpus in (n_lo, n_hi):
-            r = run_build(cpus, corpus, zip_path)
+            r = run_build(cpus, corpus, zip_path, pin=args.pin)
             samples[cpus].append(r)
             print(f"trial {trial} local[{cpus}]: {r}")
     for cpus in (n_lo, n_hi):
@@ -161,6 +174,7 @@ def main() -> int:
     eff = (t_lo / t_hi) / 4.0
     summary = {
         "corpus_docs": results[n_hi]["n_docs"],
+        "pinned_to_n_cores": bool(args.pin),
         f"local{n_lo}": results[n_lo],
         f"local{n_hi}": results[n_hi],
         "speedup_N_to_4N": round(t_lo / t_hi, 3),

@@ -182,6 +182,62 @@ def _verify_pairs(candidates: DataFrame, sh: DataFrame,
     )
 
 
+def connected_components(pairs: DataFrame, nodes: Optional[DataFrame] = None,
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs → (node, component) with
+    component = the smallest node id reachable (the canonical doc of a
+    duplicate cluster). ``pairs`` has (id_a, id_b); ``nodes`` optionally
+    supplies the full node universe (singletons map to themselves).
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; stop when no label changes.
+    Rounds = cluster diameter — near-dup clusters are shallow (a dup
+    family shares shingles pairwise, so diameters are 1-3), and each
+    round is one join + one groupBy shuffle keyed on node, both
+    bounded by |pairs| — no quadratic or driver-side step. Labels
+    persist per round and the previous round unpersists."""
+    edges_one = pairs.select(
+        F.col("id_a").cast("long").alias("a"),
+        F.col("id_b").cast("long").alias("b"),
+    )
+    edges = edges_one.unionByName(
+        edges_one.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    if nodes is not None:
+        universe = nodes.select(F.col(nodes.columns[0]).cast("long").alias("node"))
+    else:
+        universe = edges.select(F.col("a").alias("node")).distinct()
+    labels = universe.select("node", F.col("node").alias("component")).persist()
+    labels.count()
+    for _ in range(max_iter):
+        neighbor = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("a"), F.col("component").alias("la")
+                ),
+                "a",
+            )
+            .select(F.col("b").alias("node"), F.col("la").alias("component"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

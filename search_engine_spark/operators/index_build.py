@@ -97,16 +97,23 @@ def _extract_map(cfg: EngineConfig, dedup_sorted: bool = False):
             text_col = pdf["text"] if "text" in pdf.columns else [None] * len(pdf)
             title_col = pdf["title"] if "title" in pdf.columns else [None] * len(pdf)
             for html, pre, pre_title in zip(html_col, text_col, title_col):
-                # ONE parse per page shared by title/text/metadata/links
-                root = parse_html(html) if html is not None else None
+                # ONE parse per page shared by title/text/metadata/links —
+                # and NO parse when nothing needs it (pre-extracted text
+                # + title present and meta/links are off)
+                has_pre = isinstance(pre, str) and bool(pre)
+                has_title = isinstance(pre_title, str) and bool(pre_title)
+                need_parse = html is not None and (
+                    want_ml or not has_pre or not has_title
+                )
+                root = parse_html(html) if need_parse else None
                 if want_ml:
                     metas.append(extract_metadata(root) if root else {})
                     linkss.append(extract_links(root) if root else [])
-                if isinstance(pre, str) and pre:
+                if has_pre:
                     # pre-extracted text present: per-row invariant says it
                     # byte-equals what extraction would produce; trust it and
                     # only pull the title from html if needed.
-                    if isinstance(pre_title, str) and pre_title:
+                    if has_title:
                         titles.append(pre_title)
                     else:
                         titles.append(extract_title(root) if root else "")

@@ -552,11 +552,15 @@ class SearchEngine:
         """Attach (url, title) to a ≤k-row hit frame.
 
         Scale shape: collect the k hit rows (k ≤ tens — this is the
-        result the caller collects anyway), then push ``doc_id IN (…)``
-        into the docmeta parquet scan so only matching row groups are
-        read, and join tiny-vs-tiny. Never broadcasts or shuffles the
-        corpus-sized docmeta table (at 10^12 docs a docmeta broadcast
-        is a driver/executor OOM)."""
+        result the caller collects anyway), push ``doc_id IN (…)`` into
+        the docmeta scan so only matching row groups are read (the scan
+        frame is kept on ``self._last_enrich_scan`` for plan
+        inspection), and merge driver-side — ≤k rows on both sides, so
+        the result is a local relation and the caller's collect is
+        free. Never broadcasts or shuffles the corpus-sized docmeta
+        table (at 10^12 docs a docmeta broadcast is a driver/executor
+        OOM); total cost is the scores job plus one In-pruned metadata
+        scan."""
         hit_rows = out.collect()
         enriched = T.StructType(
             list(out.schema.fields)
@@ -568,13 +572,15 @@ class SearchEngine:
         if not hit_rows:
             return self.spark.createDataFrame([], enriched)
         ids = [r["doc_id"] for r in hit_rows]
-        hits_local = self.spark.createDataFrame(hit_rows, out.schema)
         meta = self.docmeta.filter(F.col("doc_id").isin(ids)).select(
             "doc_id", "url", "title"
         )
-        return hits_local.join(F.broadcast(meta), "doc_id", "left").orderBy(
-            F.desc("score"), F.asc("doc_id")
-        )
+        self._last_enrich_scan = meta
+        lookup = {r["doc_id"]: (r["url"], r["title"]) for r in meta.collect()}
+        data = [
+            tuple(r) + lookup.get(r["doc_id"], (None, None)) for r in hit_rows
+        ]
+        return self.spark.createDataFrame(data, enriched)
 
     def count(self, query: str) -> int:
         """Total matching docs (V9) — one plan, no re-evaluation (the
@@ -646,25 +652,27 @@ class SearchEngine:
         cfg = self.cfg
         hits = self.search(query, k, with_meta=True)
         # text lives in the docs stage only (docmeta is text-free — see
-        # index_build.build_docmeta). Collect the ≤k hit rows and push
-        # doc_id IN (…) into the docs parquet scan: only matching row
-        # groups are read, and the filtered (≤k-row) side broadcasts —
-        # a tiny-side left join cannot broadcast its right side without
-        # this, so the naive join shuffles the whole text corpus for k
-        # snippets.
+        # index_build.build_docmeta). Push doc_id IN (…) into the docs
+        # parquet scan so only the k hits' row groups are read (the
+        # naive hits-left-join would shuffle the whole text corpus for
+        # k snippets), collect those ≤k text rows, and merge locally.
         hit_rows = hits.collect()
         ids = [r["doc_id"] for r in hit_rows]
-        hits_local = (
-            self.spark.createDataFrame(hit_rows, hits.schema)
-            if hit_rows
-            else hits
-        )
         docs_text = (
             self.store.read_stage(self.spark, "docs")
             .filter(F.col("doc_id").isin(ids))
             .select("doc_id", "text")
         )
-        with_text = hits_local.join(F.broadcast(docs_text), "doc_id", "left")
+        self._last_snippet_scan = docs_text
+        text_by_id = {r["doc_id"]: r["text"] for r in docs_text.collect()}
+        with_text_schema = T.StructType(
+            list(hits.schema.fields)
+            + [T.StructField("text", T.StringType(), True)]
+        )
+        with_text = self.spark.createDataFrame(
+            [tuple(r) + (text_by_id.get(r["doc_id"]),) for r in hit_rows],
+            with_text_schema,
+        )
 
         out_schema = T.StructType(
             list(with_text.schema.fields)[:-1]  # drop text

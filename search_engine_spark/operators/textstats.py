@@ -151,3 +151,37 @@ def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     return docs.select(
         "*", F.coalesce(fp, whole).alias("fingerprint")
     )
+
+
+def simple_regex_tokens(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """T8a (scripts/simple_python_search.py:33-39): the reference's
+    alternate "simple search" tokenization — ``re.findall(r'\\b\\w+\\b',
+    text.lower())`` kept when len ≥ 2, as a SET per document. Pure
+    column expressions ((?U) makes Java's \\w match Unicode word chars
+    like Python's re). Returns (id, terms array<string>) with the set
+    in first-occurrence order de-duplicated (array_distinct)."""
+    text = F.col(text_col)
+    toks = F.regexp_extract_all(F.lower(text), F.lit(r"(?U)\w+"), 0)
+    kept = F.array_distinct(F.filter(toks, lambda t: F.length(t) >= 2))
+    return docs.select(F.col(id_col).alias("id"), kept.alias("terms"))
+
+
+def zipf_alt_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """T8b (src/zipf_analysis/zipf_analyzer.py:63-71): the Zipf
+    module's sloppier tokenization — ``text.lower().split()``, keep
+    tokens with raw len > 2, THEN strip edge punctuation
+    ``.,!?;:"'()[]{}`` (the reference keeps empty-after-strip tokens;
+    replicated). Returns one ``term`` row per kept token."""
+    text = F.col(text_col)
+    raw = F.filter(
+        F.split(F.lower(text), r"\s+"), lambda t: F.length(t) > 2
+    )
+    punct = "\\.|,|!|\\?|;|:|\"|'|\\(|\\)|\\[|\\]|\\{|\\}"
+    stripped = F.transform(
+        raw,
+        lambda t: F.regexp_replace(
+            F.regexp_replace(t, f"^({punct})+", ""), f"({punct})+$", ""
+        ),
+    )
+    return docs.select(F.explode(stripped).alias("term"))

@@ -104,7 +104,14 @@ class IncrementalIndexer:
             batch = batch.withColumn("url", normalize_url_col(F.col("url")))
         deduped = dedup_pages(batch)
         if st["segments"]:
-            # cross-segment dedup: first writer wins across epochs too
+            # cross-segment dedup: first writer wins across epochs too.
+            # Column pruning keeps the anti-join shuffle to the url
+            # column only; at very large accumulated history this is
+            # still an url-keyed shuffle of the seen-set per epoch —
+            # the compaction path (compact()) is the pressure valve
+            # (post-compaction the seen-set restarts from segments),
+            # and a url-hash-bucketed docmeta layout would make the
+            # join shuffle-free under a bucketing-aware catalog.
             seen = self.docmeta().select("url")
             deduped = deduped.join(seen, "url", "left_anti")
         # deterministic dense ids continuing from the high-water mark,

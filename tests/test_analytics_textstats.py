@@ -250,3 +250,48 @@ def test_plot_data_fallbacks(spark, tmp_path):
     assert plot_distribution_comparison(ranked, p3, top=20) is False
     d3 = json.load(open(p3 + ".json"))
     assert len(d3["actual"]) == 20 and d3["s"] > 0
+
+
+def test_alt_tokenizers_match_python_reference(spark):
+    """T8 alternates vs direct Python ports of the reference snippets
+    (simple_python_search.py:33-39 / zipf_analyzer.py:63-71), on
+    punctuated mixed-script text."""
+    import re
+    from collections import Counter
+
+    from search_engine_spark.operators.textstats import (
+        simple_regex_tokens,
+        zipf_alt_tokens,
+    )
+
+    texts = [
+        "Hello, World! Это — тест... (скобки) [и] {ещё} a b aa?!",
+        "x  multiple   spaces\tand\nnewlines!! word-with-dash it's",
+        "!!! ... :::",
+        "короткое слово и длинное предложение про поиск, поиск!",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    # T8a: set of \w+ tokens, len >= 2
+    got = {
+        r["id"]: set(r["terms"])
+        for r in simple_regex_tokens(docs).collect()
+    }
+    for i, t in enumerate(texts):
+        want = set(
+            tok for tok in re.findall(r"\b\w+\b", t.lower()) if len(tok) >= 2
+        )
+        assert got[i] == want, (i, got[i], want)
+
+    # T8b: lower().split(), len > 2, then edge-punct strip (empties kept)
+    got_counts = Counter(
+        r["term"] for r in zipf_alt_tokens(docs).collect()
+    )
+    want_counts = Counter()
+    for t in texts:
+        for tok in t.lower().split():
+            if len(tok) > 2:
+                want_counts[tok.strip(".,!?;:\"'()[]{}")] += 1
+    assert got_counts == want_counts

@@ -183,3 +183,17 @@ def test_lsh_production_params_recall_and_pruning(spark):
     assert got == exact  # rank-identical at production parameters
     # and it actually pruned: candidates ≪ table size
     assert idx.last_candidate_count < 0.1 * n, idx.last_candidate_count
+
+
+def test_connected_components_chain_and_singletons(spark):
+    from search_engine_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 5), (7, 8)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 10)], "node long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 7, 9: 9}

@@ -46,12 +46,16 @@ def test_hit_enrichment_pushes_docid_in_filter(spark, tmp_path):
                 EngineConfig(index_partitions=4))
     eng = SearchEngine(spark, out, cache=False)
     hits = eng.search("математика || информация", k=5, with_meta=True)
+    # the internal docmeta lookup is an In-pruned scan ...
+    scan_plan = (
+        eng._last_enrich_scan._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [In(doc_id" in scan_plan, scan_plan
+    # ... and the returned frame is a pure local relation: no scan,
+    # join, or exchange of a corpus-sized table anywhere in its plan
     plan = hits._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters: [In(doc_id" in plan, plan
-    # the only scan in the enrichment plan is the In-filtered docmeta
-    # read; the hit side is a collected local relation, so no exchange
-    # of a corpus-sized table can appear
     assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    assert "Parquet" not in plan and "BroadcastExchange" not in plan
     assert hits.count() == 5
     row = hits.first()
     assert row["url"] is not None and row["title"] is not None
@@ -63,8 +67,12 @@ def test_snippet_join_pushes_docid_in_filter(spark, tmp_path):
                 EngineConfig(index_partitions=4))
     eng = SearchEngine(spark, out, cache=False)
     snip = eng.search_with_snippets("математика || информация", k=5)
+    scan_plan = (
+        eng._last_snippet_scan._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [In(doc_id" in scan_plan, scan_plan
     plan = snip._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters: [In(doc_id" in plan, plan
+    assert "Parquet" not in plan and "BroadcastExchange" not in plan
     rows = snip.collect()
     assert len(rows) == 5
     assert all(r["snippet"] for r in rows)
