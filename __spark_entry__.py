@@ -489,6 +489,18 @@ def _q_curate(spark, sf_dir):
     return out.select("doc_id")
 
 
+def _q_decontam(spark, sf_dir):
+    """Benchmark decontamination: every 50th doc's text plays the eval
+    set; docs sharing any word 8-gram with it are dropped (includes the
+    planted near-dup twins of benchmark docs)."""
+    from search_engine_spark.operators.pipeline import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0).select("text")
+    clean, _ = decontaminate(docs, bench, n=8)
+    return clean.select("doc_id")
+
+
 def _q_parse_sources(spark, sf_dir):
     """E4–E10 through the real dispatch path: wrap each document's text
     in a deterministic per-source HTML template (doc_id % 4 → wikipedia
@@ -730,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "mm_meta": _q_mm_meta,
         "curate": _q_curate,
+        "decontam": _q_decontam,
         "parse_sources": _q_parse_sources,
         "url_norm": _q_url_norm,
         "alt_simple_tokens": _q_alt_simple_tokens,
@@ -1086,6 +1099,21 @@ exact_kept AS (
 )
 SELECT doc_id FROM exact_kept
 WHERE doc_id NOT IN (SELECT id_b FROM neardup)
+""",
+        "decontam": "WITH " + _OTOKS + """,
+tl AS (SELECT doc_id, list(term ORDER BY rn) AS ts FROM otoks GROUP BY doc_id),
+doc_sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts) - 6),
+                               i -> array_to_string(ts[i:i+7], ' '))) AS shingle
+  FROM tl WHERE len(ts) >= 8
+),
+bench_sh AS (SELECT DISTINCT shingle FROM doc_sh WHERE doc_id % 50 = 0),
+contaminated AS (
+  SELECT DISTINCT d.doc_id FROM doc_sh d JOIN bench_sh b USING (shingle)
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 """,
         "parse_sources": """
 SELECT doc_id,

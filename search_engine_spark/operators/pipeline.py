@@ -39,6 +39,42 @@ from search_engine_spark.operators.dedup import (
 from search_engine_spark.operators.textstats import quality_features
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+):
+    """Benchmark decontamination: drop every document sharing ANY word
+    n-gram with the benchmark/eval set (the standard 13-gram rule used
+    by large pretraining pipelines to prevent test-set leakage).
+
+    Shape at scale: inverted n-gram equi-join — doc shingles (corpus ×
+    ~doc_len rows, the same shingle table the dedup family builds) join
+    the DISTINCT benchmark shingle set, which is eval-set-sized (tiny
+    vs the corpus) and broadcasts; contaminated ids then anti-join the
+    corpus. No cartesian term, no driver collect.
+
+    Returns (clean_docs, contaminated_ids) — both lazy."""
+    from search_engine_spark.operators.dedup import shingle_table
+    from search_engine_spark.operators.textstats import shingles_col
+
+    doc_sh = shingle_table(docs, n, id_col, text_col)
+    bench_sh = (
+        benchmark.select(
+            F.explode(shingles_col(F.col(bench_text_col), n)).alias("shingle")
+        )
+        .distinct()
+    )
+    contaminated = doc_sh.join(bench_sh, "shingle").select(
+        F.col("id").alias(id_col)
+    ).distinct()
+    clean = docs.join(contaminated, id_col, "left_anti")
+    return clean, contaminated
+
+
 def curate(
     docs: DataFrame,
     langs: Optional[Sequence[str]] = None,

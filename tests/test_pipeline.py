@@ -43,3 +43,22 @@ def test_curate_lsh_equals_bruteforce(spark, docs):
     assert sorted(r["doc_id"] for r in a.collect()) == sorted(
         r["doc_id"] for r in b.collect()
     )
+
+
+def test_decontaminate_planted_overlap(spark):
+    from search_engine_spark.operators.pipeline import decontaminate
+
+    bench_snippet = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (0, f"intro words {bench_snippet} trailing content here"),  # contaminated
+        (1, "completely unrelated document about something else entirely ok"),
+        (2, f"prefix {bench_snippet}"),                             # contaminated
+        (3, "alpha beta gamma delta epsilon zeta eta"),             # only 7-gram → clean
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(f"xx {bench_snippet} yy",)], "text string"
+    )
+    clean, contaminated = decontaminate(docs, bench, n=8)
+    assert sorted(r["doc_id"] for r in contaminated.collect()) == [0, 2]
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 3]
