@@ -65,22 +65,11 @@ def term_freq(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
 
 def _global_ordinal(df: DataFrame, sort_cols, col_name: str,
                     partitions: int = 64) -> DataFrame:
-    """Global dense 0-based ordinal in ``sort_cols`` order WITHOUT a
-    single-partition window: range-partition on the sort key, sort
-    within partitions, then the two-pass per-partition-offset scheme
-    (same as index_build.assign_doc_ids). Exact same ordinals as
-    ``row_number() over (order by sort_cols)`` − 1."""
-    from search_engine_spark.operators.index_build import (
-        _add_partition_offset_ids,
-    )
+    """Shared two-pass global ordinal (see index_build.global_ordinal —
+    eagerly materialized, cache released)."""
+    from search_engine_spark.operators.index_build import global_ordinal
 
-    ranged = (
-        df.repartitionByRange(partitions, *sort_cols)
-        .sortWithinPartitions(*sort_cols)
-        .persist()
-    )
-    out = _add_partition_offset_ids(df.sparkSession, ranged, col_name=col_name)
-    return out
+    return global_ordinal(df, sort_cols, col_name, partitions)
 
 
 def zipf_rank_table(freqs: DataFrame,
@@ -92,7 +81,9 @@ def zipf_rank_table(freqs: DataFrame,
     range-partition ordinal (no single-task WindowExec at a 10^8-term
     dictionary — VERDICT r1 What's-wrong #5)."""
     order = [F.desc("freq"), F.asc("term")]
-    if freqs.count() <= window_threshold:
+    # bounded probe: limit() lets the size check terminate early on
+    # huge dictionaries instead of re-running the full aggregation
+    if freqs.limit(window_threshold + 1).count() <= window_threshold:
         w = Window.orderBy(*order)
         return freqs.select(
             F.row_number().over(w).cast("long").alias("rank"), "term", "freq"

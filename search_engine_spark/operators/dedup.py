@@ -195,7 +195,14 @@ def connected_components(pairs: DataFrame, nodes: Optional[DataFrame] = None,
     family shares shingles pairwise, so diameters are 1-3), and each
     round is one join + one groupBy shuffle keyed on node, both
     bounded by |pairs| — no quadratic or driver-side step. Labels
-    persist per round and the previous round unpersists."""
+    persist per round and the previous round unpersists.
+
+    Raises RuntimeError if labels have not converged after ``max_iter``
+    rounds — partial labels silently split clusters, which for a
+    canonicalization operator means silently keeping duplicates. A
+    graph whose components legitimately exceed that diameter (chained
+    revision families) needs a larger ``max_iter`` or a
+    star-contraction variant, not a truncated answer."""
     edges_one = pairs.select(
         F.col("id_a").cast("long").alias("a"),
         F.col("id_b").cast("long").alias("b"),
@@ -209,6 +216,7 @@ def connected_components(pairs: DataFrame, nodes: Optional[DataFrame] = None,
         universe = edges.select(F.col("a").alias("node")).distinct()
     labels = universe.select("node", F.col("node").alias("component")).persist()
     labels.count()
+    converged = False
     for _ in range(max_iter):
         neighbor = (
             edges.join(
@@ -234,7 +242,14 @@ def connected_components(pairs: DataFrame, nodes: Optional[DataFrame] = None,
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels
 
 

@@ -140,9 +140,7 @@ def flat_text_export(
     under ``out_dir/metadata/`` as JSON rows; ``single_file=True``
     coalesces both to one part (driver-friendly, small exports only).
     Returns the (export_id, line, title, url, doc_id) frame."""
-    from search_engine_spark.operators.index_build import (
-        _add_partition_offset_ids,
-    )
+    from search_engine_spark.operators.index_build import global_ordinal
 
     line = F.regexp_replace(
         F.regexp_replace(
@@ -167,13 +165,9 @@ def flat_text_export(
             line.alias("line"),
         )
     )
-    parts = max(1, partitions)
-    ranged = (
-        src.repartitionByRange(parts, "src_doc_id")
-        .sortWithinPartitions("src_doc_id")
-        .persist()
+    numbered = global_ordinal(
+        src, [F.col("src_doc_id").asc()], "export_id", max(1, partitions)
     )
-    numbered = _add_partition_offset_ids(spark, ranged, col_name="export_id")
     out = numbered.select(
         "export_id", "line", "title", "url",
         F.col("src_doc_id").alias("doc_id"),
@@ -185,7 +179,6 @@ def flat_text_export(
         writer_meta = writer_meta.coalesce(1)
     writer_docs.write.mode("overwrite").text(os.path.join(out_dir, "documents"))
     writer_meta.write.mode("overwrite").json(os.path.join(out_dir, "metadata"))
-    ranged.unpersist()
     return out
 
 

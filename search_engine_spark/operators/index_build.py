@@ -143,20 +143,64 @@ def _extract_map(cfg: EngineConfig, dedup_sorted: bool = False):
     return fn
 
 
-def assign_doc_ids(spark: SparkSession, docs: DataFrame, partitions: int) -> DataFrame:
-    """Deterministic dense doc_id = rank of url in global url order.
-
-    Scalable two-pass zipWithIndex (no single-partition window): range-
-    partition by url, count rows per partition, broadcast the offsets,
-    then add per-partition ordinals in one mapInPandas. The partitioned
-    frame is persisted so both passes see identical partitioning.
-    """
-    parts = max(1, min(partitions, 200))
-    ranged = (
-        docs.repartitionByRange(parts, "url").sortWithinPartitions("url").persist()
+def extract_schema(cfg: EngineConfig) -> T.StructType:
+    """Output schema of ``_extract_map`` — the meta/links columns exist
+    only when ``cfg.extract_meta_links`` (every consumer must use THIS,
+    not a hand-rolled copy, or the shapes drift)."""
+    return T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("title", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+        ]
+        + (
+            [
+                T.StructField(
+                    "metadata", T.MapType(T.StringType(), T.StringType()), True
+                ),
+                T.StructField("links", T.ArrayType(T.StringType()), True),
+            ]
+            if cfg.extract_meta_links
+            else []
+        )
     )
-    assigned = _add_partition_offset_ids(spark, ranged)
-    return assigned
+
+
+def global_ordinal(df: DataFrame, sort_cols, col_name: str = "_ord",
+                   partitions: int = 64) -> DataFrame:
+    """Global dense 0-based ordinal in ``sort_cols`` order WITHOUT a
+    single-partition window: range-partition on the sort key, sort
+    within partitions, two-pass per-partition offsets. Exact same
+    ordinals as ``row_number() over (order by sort_cols)`` − 1.
+
+    The range-partitioned input MUST be persisted for correctness —
+    ``repartitionByRange`` samples its boundaries, so both passes have
+    to see one materialization. The result is therefore eagerly
+    localCheckpoint'ed and the intermediate cache released before
+    returning (callers repeatedly invoking this must not accumulate
+    session-lifetime cache blocks). This is THE shared implementation
+    of the idiom — analytics ranks, flat export renumbering, and
+    doc-id assignment all route here."""
+    parts = max(1, partitions)
+    ranged = (
+        df.repartitionByRange(parts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .persist()
+    )
+    out = _add_partition_offset_ids(df.sparkSession, ranged,
+                                    col_name=col_name)
+    out = out.localCheckpoint(eager=True)
+    ranged.unpersist()
+    return out
+
+
+def assign_doc_ids(spark: SparkSession, docs: DataFrame, partitions: int) -> DataFrame:
+    """Deterministic dense doc_id = rank of url in global url order
+    (SURVEY §7.1) — the standalone form; ``build_docs`` fuses this
+    into the extraction shuffle instead."""
+    return global_ordinal(docs, [F.col("url").asc()], "doc_id",
+                          max(1, min(partitions, 200)))
 
 
 def _add_partition_offset_ids(spark: SparkSession, ranged: DataFrame,
@@ -225,24 +269,7 @@ def build_docs(
     ranged = pages.repartitionByRange(parts, "url").sortWithinPartitions(
         *sort_cols
     )
-    extract_schema = T.StructType(
-        [
-            T.StructField("url", T.StringType(), False),
-            T.StructField("title", T.StringType(), True),
-            T.StructField("text", T.StringType(), True),
-            T.StructField("lang", T.StringType(), True),
-        ]
-        + (
-            [
-                T.StructField(
-                    "metadata", T.MapType(T.StringType(), T.StringType()), True
-                ),
-                T.StructField("links", T.ArrayType(T.StringType()), True),
-            ]
-            if cfg.extract_meta_links
-            else []
-        )
-    )
+    schema = extract_schema(cfg)
     from pyspark import StorageLevel
 
     # DISK_ONLY persist: the two-pass id assignment replays this frame
@@ -250,7 +277,7 @@ def build_docs(
     # avoid the SQL columnar-cache's on-heap allocation churn, which
     # measured 3-4x wall-clock variance on large corpora.
     extracted = ranged.mapInPandas(
-        _extract_map(cfg, dedup_sorted=True), schema=extract_schema
+        _extract_map(cfg, dedup_sorted=True), schema=schema
     ).persist(StorageLevel.DISK_ONLY)
     return _add_partition_offset_ids(spark, extracted)
 

@@ -169,12 +169,17 @@ class SearchEngine:
         if len(topk1) < k:
             return self._term_scores(term, df)  # tiny list; no pruning value
         theta = topk1[-1]["score"]
-        # phase 2: only blocks that could still beat θ (pushable predicate)
+        # phase 2: every block that could still beat OR TIE θ (pushable
+        # predicate). >= with an epsilon, not >: a doc in another block
+        # with score exactly θ and a smaller doc_id wins the tie-break
+        # (score desc, doc_id asc) — strict > silently dropped it, and
+        # exact ties are common (equal (tf, doc_len) pairs).
+        eps = 1e-9 * (1.0 + abs(theta))
         p2 = (
             self.blocks.filter(
                 (F.col("term") == term)
                 & (~F.col("block_id").isin(phase1_ids))
-                & (F.col("max_score") > theta)
+                & (F.col("max_score") >= theta - eps)
             )
             .select("doc_gaps", "tfs", "dls")
             .mapInPandas(dec, schema=_SCORE_SCHEMA)
@@ -385,7 +390,13 @@ class SearchEngine:
         )
         self._last_wand_stats = {
             "total_blocks": total_blocks,
-            "decoded_blocks": meta.filter(keep_pred).count(),
+            # the decoded-block count is diagnostics only — an extra
+            # metadata job the hot path shouldn't pay; tests opt in
+            "decoded_blocks": (
+                meta.filter(keep_pred).count()
+                if getattr(self, "wand_debug", False)
+                else None
+            ),
             "theta": theta,
         }
         return (

@@ -186,32 +186,34 @@ def pages_df(spark, n_docs: int = 1000, seed: int = 42, **kw):
 def text_file_pages(spark, path: str):
     """S6 (boolean_index/src/index_builder.cpp:92-151): one NON-EMPTY
     line = one document; title ``Document N`` and url
-    ``file://{path}#N`` with N the 1-based line ordinal (the reference
-    uses the post-increment doc id in both). Returns a pages-shaped
-    DataFrame ready for ``build_index``.
+    ``file://{path}?line=N`` with N the 1-based line ordinal (the
+    reference uses the post-increment doc id in both). Returns a
+    pages-shaped DataFrame ready for ``build_index``.
 
-    Divergence recorded: the ordinal in the url is zero-padded to 9
-    digits so lexicographic url order == line order — the engine
-    assigns doc_id by url rank (SURVEY §7.1), and the reference's
-    unpadded ``#10`` would sort before ``#2``. Line ordinals are
-    assigned with the two-pass per-partition-offset scheme over the
-    text scan's natural split order (no single-partition pass; the
-    reference's 10 000-doc batching maps to partitioning).
-
-    IMPORTANT: build with ``EngineConfig(normalize_urls=False)`` — the
-    synthetic urls are fragment-distinguished, and E12 normalization
-    (a crawler-side step the reference never applies to text-file
-    ingestion either) would defrag them all onto one url."""
+    Divergences recorded vs the reference's ``file://{path}#{N}``:
+    (a) the ordinal lives in a QUERY parameter, not a fragment — the
+    engine's default E12 URL normalization defrags urls before dedup,
+    and fragment-keyed synthetic docs would silently collapse to one
+    (the reference never normalizes its text-file urls, but relying on
+    every caller to flip ``normalize_urls=False`` is the footgun);
+    (b) it is zero-padded to 9 digits so lexicographic url order ==
+    line order (doc_id = url rank, SURVEY §7.1; unpadded ``10`` sorts
+    before ``2``). Line ordinals use the two-pass per-partition-offset
+    scheme over the text scan's natural split order — file splits are
+    deterministic byte ranges (NOT sampled like repartitionByRange),
+    so the two passes see identical partitioning without a persist."""
     from pyspark.sql import functions as F
 
     from search_engine_spark.operators.index_build import (
         _add_partition_offset_ids,
     )
 
-    lines = spark.read.text(path).filter(F.col("value") != "").persist()
+    lines = spark.read.text(path).filter(F.col("value") != "")
     numbered = _add_partition_offset_ids(spark, lines, col_name="_ord")
     out = numbered.select(
-        F.format_string(f"file://{path}#%09d", F.col("_ord") + 1).alias("url"),
+        F.format_string(f"file://{path}?line=%09d", F.col("_ord") + 1).alias(
+            "url"
+        ),
         F.lit(None).cast("timestamp").alias("warc_ts"),
         F.lit(None).cast("binary").alias("html"),
         F.col("value").alias("text"),

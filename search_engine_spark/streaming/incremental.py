@@ -84,7 +84,8 @@ class IncrementalIndexer:
         from search_engine_spark.operators.index_build import (
             build_postings,
             dedup_pages,
-            _add_partition_offset_ids,
+            extract_schema,
+            global_ordinal,
             _extract_map,
         )
 
@@ -92,14 +93,6 @@ class IncrementalIndexer:
         seg = f"seg_{epoch_id:06d}"
         if seg in st["segments"]:
             return  # replayed epoch, already fully committed
-        extract_schema = T.StructType(
-            [
-                T.StructField("url", T.StringType(), False),
-                T.StructField("title", T.StringType(), True),
-                T.StructField("text", T.StringType(), True),
-                T.StructField("lang", T.StringType(), True),
-            ]
-        )
         if self.cfg.normalize_urls:
             batch = batch.withColumn("url", normalize_url_col(F.col("url")))
         deduped = dedup_pages(batch)
@@ -120,19 +113,17 @@ class IncrementalIndexer:
         # coalesce(1) serialized every epoch; a backfill epoch then ran
         # one task for the whole corpus slice).
         parts = max(2, min(self.cfg.index_partitions, 64))
-        ranged = (
-            deduped.mapInPandas(_extract_map(self.cfg), schema=extract_schema)
-            .repartitionByRange(parts, "url")
-            .sortWithinPartitions("url")
-            .persist()
+        extracted = deduped.mapInPandas(
+            _extract_map(self.cfg), schema=extract_schema(self.cfg)
         )
-        assigned = _add_partition_offset_ids(self.spark, ranged).withColumn(
+        assigned = global_ordinal(
+            extracted, [F.col("url").asc()], "doc_id", parts
+        ).withColumn(
             "doc_id", F.col("doc_id") + F.lit(int(st["next_doc_id"]))
         )
         docs = assigned.select("doc_id", "url", "title", "lang", "text")
         docs.persist()
         n = docs.count()
-        ranged.unpersist()
         postings = build_postings(docs, self.cfg)
         seg_dir = os.path.join(self.dir, "segments", seg)
         # overwrite → idempotent on epoch replay after a crash

@@ -120,8 +120,8 @@ def test_text_file_source_roundtrip(spark, built, tmp_path):
     out = flat_text_export(spark, docs, exp, single_file=True)
     part = glob.glob(os.path.join(exp, "documents", "part-*"))[0]
 
-    # fragment-distinguished synthetic urls: must not E12-normalize
-    cfg = EngineConfig(index_partitions=4, normalize_urls=False)
+    # ?line= urls survive the DEFAULT config's E12 normalization
+    cfg = EngineConfig(index_partitions=4)
     pages_b = text_file_pages(spark, part)
     idx_b = str(tmp_path / "idx_b")
     build_index(spark, pages_b, idx_b, cfg)
@@ -131,9 +131,9 @@ def test_text_file_source_roundtrip(spark, built, tmp_path):
     from pyspark.sql import functions as F
 
     pages_c = out.select(
-        F.format_string(f"file://{part}#%09d", F.col("export_id") + 1).alias(
-            "url"
-        ),
+        F.format_string(
+            f"file://{part}?line=%09d", F.col("export_id") + 1
+        ).alias("url"),
         F.lit(None).cast("timestamp").alias("warc_ts"),
         F.lit(None).cast("binary").alias("html"),
         F.col("line").alias("text"),

@@ -232,6 +232,7 @@ def test_or_wand_matches_full_eval_and_prunes(spark, tmp_path):
     out = str(tmp_path / "idx")
     build_index(spark, pages, out, cfg)
     eng = SearchEngine(spark, out, cache=False)
+    eng.wand_debug = True
     q = "aa || bb"
     got = [
         (r["doc_id"], round(r["score"], 9))
@@ -245,3 +246,38 @@ def test_or_wand_matches_full_eval_and_prunes(spark, tmp_path):
     st = eng._last_wand_stats
     assert st["theta"] is not None
     assert 0 < st["decoded_blocks"] < st["total_blocks"], st
+
+
+def test_single_term_pruning_keeps_theta_ties(spark, tmp_path):
+    """Regression: phase-2 block pruning must keep blocks whose
+    max_score EQUALS θ — a tied doc with a smaller doc_id in such a
+    block wins the (score desc, doc_id asc) tie-break."""
+    from pyspark.sql import functions as F
+
+    f = lambda n, tag: " ".join(f"{tag}{j:02d}" for j in range(n))
+    rows = [
+        ("http://x/0", "tt tt " + f(8, "aa")),   # tf=2 dl=10 → ties id3
+        ("http://x/1", "tt " + f(39, "bb")),     # low score
+        ("http://x/2", "tt " * 8 + f(2, "cc")),  # tf=8 dl=10 → top
+        ("http://x/3", "tt tt " + f(8, "dd")),   # tf=2 dl=10 → ties id0
+    ]
+    pages = spark.createDataFrame(
+        [(u, None, None, t, "ru") for u, t in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    cfg = EngineConfig(index_partitions=2, block_size=2, wand_min_blocks=1)
+    out = str(tmp_path / "idx")
+    build_index(spark, pages, out, cfg)
+    eng = SearchEngine(spark, out, cache=False)
+    got = [r["doc_id"] for r in eng.search("tt", 2, with_meta=False).collect()]
+    # full-path truth: top is id2; the s* tie between id0 and id3 goes
+    # to id0 (doc_id asc) even though id0's block is not in phase 1
+    want = [
+        r["doc_id"]
+        for r in eng.scores_df("tt")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(2)
+        .collect()
+    ]
+    assert want == [2, 0]
+    assert got == want
