@@ -280,6 +280,25 @@ def _q_proximity(spark, sf_dir):
     ).select("doc_id")
 
 
+def _q_batch_search(spark, sf_dir):
+    """V11: one unioned plan of per-query top-k results tagged with the
+    query string."""
+    eng = _engine(spark, sf_dir)
+    out = eng.search_batch(["join", "fast"], k=5)
+    return _r6(_orig_ids(eng, out), "score").select("doc_id", "score", "query")
+
+
+def _q_match_counts(spark, sf_dir):
+    """V9: total matching doc counts per query (single evaluation, no
+    re-run — the reference re-evaluates the whole AST for count)."""
+    eng = _engine(spark, sf_dir)
+    rows = [
+        (q, eng.count(q))
+        for q in ["join", "join && fast", "slow || vector", "join && !fast"]
+    ]
+    return spark.createDataFrame(rows, "query string, n long")
+
+
 def _q_suggest(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     return (
@@ -719,6 +738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase": _q_phrase,
         "phrase_scored": _q_phrase_scored,
         "proximity": _q_proximity,
+        "batch_search": _q_batch_search,
+        "match_counts": _q_match_counts,
         "suggest": _q_suggest,
         "more_like_this": _q_mlt,
         "zipf_rank": _q_zipf_rank,
@@ -931,6 +952,33 @@ SELECT DISTINCT a.doc_id
 FROM otoks a JOIN otoks b
   ON b.doc_id = a.doc_id AND b.rn BETWEEN a.rn AND a.rn + 3
 WHERE a.term = 'key' AND b.term = 'value'
+""",
+        "batch_search": _BM25 + """
+, qa AS (
+  SELECT doc_id, round(s, 6) AS score, 'join' AS query
+  FROM score WHERE term = 'join'
+  ORDER BY s DESC, doc_id ASC LIMIT 5
+),
+qb AS (
+  SELECT doc_id, round(s, 6) AS score, 'fast' AS query
+  FROM score WHERE term = 'fast'
+  ORDER BY s DESC, doc_id ASC LIMIT 5
+)
+SELECT * FROM qa UNION ALL SELECT * FROM qb
+""",
+        "match_counts": _BM25 + """
+, c1 AS (SELECT 'join' AS query, count(*)::BIGINT AS n
+         FROM score WHERE term = 'join'),
+c2 AS (SELECT 'join && fast', count(*)::BIGINT
+       FROM score a JOIN score b USING (doc_id)
+       WHERE a.term = 'join' AND b.term = 'fast'),
+c3 AS (SELECT 'slow || vector', count(DISTINCT doc_id)::BIGINT
+       FROM score WHERE term IN ('slow', 'vector')),
+c4 AS (SELECT 'join && !fast', count(*)::BIGINT
+       FROM score a WHERE a.term = 'join' AND a.doc_id NOT IN
+         (SELECT doc_id FROM score WHERE term = 'fast'))
+SELECT * FROM c1 UNION ALL SELECT * FROM c2
+UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
 """,
         "suggest": "WITH " + _TOKS + """
 SELECT DISTINCT term FROM toks WHERE term LIKE 's%' ORDER BY term LIMIT 10
