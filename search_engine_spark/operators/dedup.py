@@ -207,9 +207,17 @@ def connected_components(pairs: DataFrame, nodes: Optional[DataFrame] = None,
         F.col("id_a").cast("long").alias("a"),
         F.col("id_b").cast("long").alias("b"),
     )
-    edges = edges_one.unionByName(
-        edges_one.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # materialize the edge list ONCE: it is consumed by every
+    # propagation round, and a lazy `pairs` plan (e.g. the whole
+    # shingle-join Jaccard pipeline) would otherwise re-execute per
+    # round; the edge list is pairs-sized — tiny next to the corpus
+    edges = (
+        edges_one.unionByName(
+            edges_one.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     if nodes is not None:
         universe = nodes.select(F.col(nodes.columns[0]).cast("long").alias("node"))
     else:
