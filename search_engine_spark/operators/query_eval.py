@@ -20,9 +20,12 @@ posting lists, a two-phase exact top-k — phase 1 scores just enough
 highest-``max_score`` blocks to cover k docs, establishing an exact
 threshold θ; phase 2 scores only remaining blocks with ``max_score > θ``
 (a parquet-pushable predicate on block metadata). Always rank-identical
-to the full scan; multi-term queries currently take the full-scan path
-(upper bounds are stored per block, so WAND-style multi-term pruning is
-a pure query-side extension).
+to the full scan. Multi-term pruning: flat ANDs use exact block-range
+skipping driven by the rarest term, flat ORs use the two-phase θ WAND,
+and arbitrary mixed AND/OR/NOT trees route through
+``_tree_scores_block_pruned`` (per-occurrence upper-bound sum +
+restricted-leaf phase 1), so no shape above ``wand_min_blocks`` pays a
+full multi-term block scan.
 """
 
 from __future__ import annotations
@@ -464,9 +467,200 @@ class SearchEngine:
         )
         return joined.select("doc_id", total.alias("score"))
 
+    # -- general boolean-tree block-max pruning ---------------------------
+    @staticmethod
+    def _collect_leaf_occurrences(node: qp.Node):
+        """Walk the AST → (positive-term multiplicities, terms under any
+        NOT, phrase-term multiplicities). Positive = a plain Term leaf
+        reachable without crossing a Not or a Phrase."""
+        from collections import Counter
+
+        pos: Dict[str, int] = Counter()
+        negs: set = set()
+        phr: Dict[str, int] = Counter()
+
+        def walk(n: qp.Node, under_not: bool) -> None:
+            if isinstance(n, qp.Term):
+                if under_not:
+                    negs.add(n.term)
+                else:
+                    pos[n.term] += 1
+            elif isinstance(n, qp.Phrase):
+                for t in n.terms:
+                    if under_not:
+                        negs.add(t)
+                    else:
+                        phr[t] += 1
+            elif isinstance(n, qp.Not):
+                walk(n.child, True)
+            elif isinstance(n, (qp.And, qp.Or)):
+                walk(n.left, under_not)
+                walk(n.right, under_not)
+            else:  # pragma: no cover
+                raise TypeError(n)
+
+        walk(node, False)
+        return pos, negs, phr
+
+    def _tree_scores_block_pruned(
+        self, ast: qp.Node, stats: Dict[str, Tuple[int, int]], k: int
+    ) -> Optional[DataFrame]:
+        """Block-max WAND pruning for ARBITRARY boolean trees (VERDICT r2
+        #1) — generalizes `_or_scores_block_pruned` beyond flat shapes.
+
+        Score algebra (`_eval`): AND and OR both SUM their children's
+        scores, NOT contributes 0 — so any doc's score is a sum of
+        per-positive-leaf-occurrence contributions, each either 0 or
+        that term's BM25, and ``U_total = Σ_occurrences U(term)`` bounds
+        every doc's score from above regardless of tree shape.
+
+        Phase 1 evaluates the tree with each prunable term restricted
+        to its top-k blocks by max_score (NOT inners and phrase terms
+        stay FULL — restricted leaves only shrink AND/OR match sets and
+        scores, so every phase-1 match is a true match whose phase-1
+        score lower-bounds its true score; a restricted NOT would
+        instead ADD false matches). The k-th phase-1 score is therefore
+        a sound θ ≤ the true k-th best.
+
+        Phase 2 keeps block b of prunable term t (multiplicity m) iff
+        ``m·max_score_b ≥ θ − (U_total − m·U(t)) − ε`` — a pushable
+        (term, max_score) predicate. Any doc with a posting in a pruned
+        block has true score < θ (its t-contribution ≤ m·max_score_b,
+        everything else ≤ U_total − m·U(t)), so it cannot reach the
+        top-k whether phase 2 drops it from an AND or under-scores it;
+        every true top-k doc's blocks all survive, so its match AND
+        score are exact. Top-k-valid only — routed solely from
+        ``search()``.
+
+        Returns None when pruning does not apply (no prunable positive
+        leaf above ``wand_min_blocks``); caller falls back to `_eval`.
+        """
+        from pyspark.sql import Window
+
+        pos, negs, phr = self._collect_leaf_occurrences(ast)
+        nb = lambda t: (
+            stats.get(t, (0, 0))[0] + self.cfg.block_size - 1
+        ) // self.cfg.block_size
+        # prunable = positive leaves with postings, not also under a NOT
+        # (NOT needs the exact inner set) and not also a phrase term
+        # (phrases need full postings for position checks)
+        prunable = {
+            t: m
+            for t, m in pos.items()
+            if stats.get(t, (0, 0))[0] > 0 and t not in negs and t not in phr
+        }
+        if not prunable or max(nb(t) for t in prunable) <= self.cfg.wand_min_blocks:
+            return None
+
+        # per-term upper bounds over ALL scoring leaves (positive + phrase)
+        u_terms = [
+            t
+            for t in set(pos) | set(phr)
+            if stats.get(t, (0, 0))[0] > 0
+        ]
+        meta = self.blocks.filter(F.col("term").isin(u_terms)).select(
+            "term", "block_id", "max_score"
+        )
+        U = {
+            r["term"]: r["mx"]
+            for r in meta.groupBy("term").agg(F.max("max_score").alias("mx")).collect()
+        }
+        u_total = sum(pos.get(t, 0) * U.get(t, 0.0) for t in set(pos)) + sum(
+            phr.get(t, 0) * U.get(t, 0.0) for t in set(phr)
+        )
+
+        # phase 1: per-prunable-term top-k blocks by max_score
+        w = Window.partitionBy("term").orderBy(
+            F.desc("max_score"), F.asc("block_id")
+        )
+        p1_rows = (
+            meta.filter(F.col("term").isin(list(prunable)))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .collect()
+        )
+        p1_by_term: Dict[str, List[int]] = {}
+        for r in p1_rows:
+            p1_by_term.setdefault(r["term"], []).append(r["block_id"])
+
+        def leaf(t: str, blk_pred) -> DataFrame:
+            dec = _decode_score_map(
+                self.idf(stats[t][0]), self.cfg.k1, self.cfg.b, self.avgdl
+            )
+            return (
+                self.blocks.filter((F.col("term") == t) & blk_pred)
+                .select("doc_gaps", "tfs", "dls")
+                .mapInPandas(dec, schema=_SCORE_SCHEMA)
+            )
+
+        p1_frames = {
+            t: leaf(t, F.col("block_id").isin(ids))
+            for t, ids in p1_by_term.items()
+        }
+        topk1 = (
+            self._eval(ast, stats, p1_frames)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        total_blocks = sum(nb(t) for t in set(pos) | set(phr) | negs)
+        if len(topk1) < k:
+            # fewer than k matches in the best blocks → no safe θ
+            self._last_wand_stats = {
+                "total_blocks": total_blocks,
+                "decoded_blocks": total_blocks,
+                "theta": None,
+            }
+            return self._eval(ast, stats)
+        theta = topk1[-1]["score"]
+        eps = 1e-9 * (1.0 + abs(theta))  # (a+b)−a ≠ b in doubles
+        thresholds = {
+            t: (theta - (u_total - m * U.get(t, 0.0))) / m - eps
+            for t, m in prunable.items()
+        }
+        p2_pred = {
+            t: F.col("block_id").isin(p1_by_term.get(t, []))
+            | (F.col("max_score") >= thresholds[t])
+            for t in prunable
+        }
+        if getattr(self, "wand_debug", False):
+            keep = reduce(
+                lambda a, c: a | c,
+                [(F.col("term") == t) & p for t, p in p2_pred.items()],
+            )
+            unpruned = sum(
+                nb(t) for t in (set(pos) | set(phr) | negs) if t not in prunable
+            )
+            decoded = meta.filter(
+                F.col("term").isin(list(prunable))
+            ).filter(keep).count() + unpruned
+        else:
+            decoded = None
+        self._last_wand_stats = {
+            "total_blocks": total_blocks,
+            "decoded_blocks": decoded,
+            "theta": theta,
+        }
+        p2_frames = {t: leaf(t, p) for t, p in p2_pred.items()}
+        return self._eval(ast, stats, p2_frames)
+
     # -- AST → (doc_id, score) DataFrame ---------------------------------
-    def _eval(self, node: qp.Node, stats: Dict[str, Tuple[int, int]]) -> DataFrame:
+    def _eval(
+        self,
+        node: qp.Node,
+        stats: Dict[str, Tuple[int, int]],
+        leaf_frames: Optional[Dict[str, DataFrame]] = None,
+    ) -> DataFrame:
+        """Evaluate the AST to a (doc_id, score) frame.
+
+        ``leaf_frames`` (tree-WAND only) substitutes a block-restricted
+        (doc_id, score) frame for specific positive term leaves; NOT
+        subtrees and phrases always evaluate over the full index —
+        restricted NOT inners would produce FALSE matches (the
+        anti-join universe grows when the inner set shrinks)."""
         if isinstance(node, qp.Term):
+            if leaf_frames is not None and node.term in leaf_frames:
+                return leaf_frames[node.term]
             df = stats.get(node.term, (0, 0))[0]
             return self._term_scores(node.term, df)
         if isinstance(node, qp.Phrase):
@@ -482,15 +676,19 @@ class SearchEngine:
             )
             return cand.join(scores, "doc_id", "inner").select("doc_id", "score")
         if isinstance(node, qp.Not):
-            inner = self._eval(node.child, stats)
+            inner = self._eval(node.child, stats)  # exact — never restricted
             return (
                 self.docmeta.select("doc_id")
                 .join(inner.select("doc_id"), "doc_id", "left_anti")
                 .withColumn("score", F.lit(0.0))
             )
         if isinstance(node, (qp.And, qp.Or)):
-            l = self._eval(node.left, stats).withColumnRenamed("score", "ls")
-            r = self._eval(node.right, stats).withColumnRenamed("score", "rs")
+            l = self._eval(node.left, stats, leaf_frames).withColumnRenamed(
+                "score", "ls"
+            )
+            r = self._eval(node.right, stats, leaf_frames).withColumnRenamed(
+                "score", "rs"
+            )
             if isinstance(node, qp.And):
                 return l.join(r, "doc_id", "inner").select(
                     "doc_id", (F.col("ls") + F.col("rs")).alias("score")
@@ -552,7 +750,10 @@ class SearchEngine:
             ):
                 scores = self._or_scores_block_pruned(or_terms, stats, k)
             else:
-                scores = self._eval(ast, stats)
+                # mixed boolean trees (AND/OR/NOT nesting): general
+                # tree-WAND; None → shape not prunable → full eval
+                tree = self._tree_scores_block_pruned(ast, stats, k)
+                scores = tree if tree is not None else self._eval(ast, stats)
             out = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         if with_meta:
             out = self._enrich_hits(out)

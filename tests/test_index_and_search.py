@@ -248,6 +248,91 @@ def test_or_wand_matches_full_eval_and_prunes(spark, tmp_path):
     assert 0 < st["decoded_blocks"] < st["total_blocks"], st
 
 
+def test_tree_wand_mixed_query_matches_full_eval_and_prunes(spark, tmp_path):
+    """General boolean-tree block-max pruning (VERDICT r2 #1): a mixed
+    AND/OR/NOT query above wand_min_blocks must (a) return exactly the
+    full-eval top-k and (b) decode strictly fewer blocks.
+
+    Corpus shape: 30 docs carry aa+bb with high tf (the top-k), 200
+    long docs carry only bb with tf=1 — their ~50 blocks fall below
+    θ − (U_total − U(bb)) and must be skipped; 3 aa+dd docs are
+    excluded by the !dd branch and their aa blocks also prune."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(30):
+        rows.append((f"http://a/{i:04d}", "aa bb " * 5))
+    filler = " ".join(f"w{j:02d}" for j in range(40))
+    for i in range(200):
+        rows.append((f"http://b/{i:04d}", "bb " + filler))
+    for i in range(3):
+        rows.append((f"http://c/{i:04d}", "aa dd"))
+    pages = spark.createDataFrame(
+        [(u, None, None, t, "ru") for u, t in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    cfg = EngineConfig(index_partitions=4, block_size=4, wand_min_blocks=2)
+    out = str(tmp_path / "idx")
+    build_index(spark, pages, out, cfg)
+    eng = SearchEngine(spark, out, cache=False)
+    eng.wand_debug = True
+    # mixed tree: not flat-AND, not flat-OR → routes _tree_scores_block_pruned
+    q = "(aa && bb) || (aa && !dd)"
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in eng.search(q, 10, with_meta=False).collect()
+    ]
+    want_df = (
+        eng.scores_df(q).orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    )
+    want = [(r["doc_id"], round(r["score"], 9)) for r in want_df.collect()]
+    assert got == want
+    st = eng._last_wand_stats
+    assert st["theta"] is not None
+    assert 0 < st["decoded_blocks"] < st["total_blocks"], st
+
+
+def test_tree_wand_not_branch_stays_exact(spark, tmp_path):
+    """NOT inners must never be block-restricted: a doc that matches the
+    negated term must stay excluded even when the positive side prunes.
+    Also covers the and-NOT shape (`aa && !dd`), which flat-AND
+    flattening rejects and therefore routes through the tree path."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(40):
+        rows.append((f"http://a/{i:04d}", "aa " * 4 + f"u{i:03d}"))
+    for i in range(10):
+        rows.append((f"http://d/{i:04d}", "aa " * 4 + "dd"))
+    filler = " ".join(f"w{j:02d}" for j in range(30))
+    for i in range(120):
+        rows.append((f"http://f/{i:04d}", "aa " + filler))
+    pages = spark.createDataFrame(
+        [(u, None, None, t, "ru") for u, t in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    cfg = EngineConfig(index_partitions=4, block_size=4, wand_min_blocks=2)
+    out = str(tmp_path / "idx")
+    build_index(spark, pages, out, cfg)
+    eng = SearchEngine(spark, out, cache=False)
+    q = "aa && !dd"
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in eng.search(q, 10, with_meta=False).collect()
+    ]
+    want_df = (
+        eng.scores_df(q).orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    )
+    want = [(r["doc_id"], round(r["score"], 9)) for r in want_df.collect()]
+    assert got == want
+    # every dd doc is excluded despite high aa tf
+    dd_ids = {
+        r["doc_id"]
+        for r in eng.docmeta.filter(F.col("url").startswith("http://d/")).collect()
+    }
+    assert not ({d for d, _ in got} & dd_ids)
+
+
 def test_single_term_pruning_keeps_theta_ties(spark, tmp_path):
     """Regression: phase-2 block pruning must keep blocks whose
     max_score EQUALS θ — a tied doc with a smaller doc_id in such a
