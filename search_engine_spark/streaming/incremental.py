@@ -53,10 +53,21 @@ class IncrementalIndexer:
     """Segment-appending streaming indexer over a landing directory."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 cfg: EngineConfig = DEFAULT_CONFIG):
+                 cfg: EngineConfig = DEFAULT_CONFIG,
+                 seen_buckets: int = 64, seen_compact_after: int = 16):
+        """``seen_buckets`` / ``seen_compact_after`` bound the
+        cross-segment URL dedup (VERDICT r2 #4): each segment writes a
+        url-only ``seen_urls`` sidecar partitioned by
+        ``url_bucket = pmod(xxhash64(url), seen_buckets)``, the
+        per-epoch anti-join prunes to the batch's buckets, and once
+        more than ``seen_compact_after`` sidecars accumulate they fold
+        into one bucketed base — per-epoch dedup cost no longer grows
+        with segment-file count."""
         self.spark = spark
         self.cfg = cfg
         self.dir = index_dir
+        self.seen_buckets = int(seen_buckets)
+        self.seen_compact_after = int(seen_compact_after)
         os.makedirs(index_dir, exist_ok=True)
 
     # -- watermark bookkeeping -----------------------------------------
@@ -68,13 +79,25 @@ class IncrementalIndexer:
         if os.path.exists(self._state_path):
             with open(self._state_path) as f:
                 return json.load(f)
-        return {"next_doc_id": 0, "segments": []}
+        return {"next_doc_id": 0, "segments": [], "seen_dirs": []}
 
     def _write_state(self, st: dict) -> None:
         tmp = self._state_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(st, f, indent=1)
         os.replace(tmp, self._state_path)
+
+    def _read_seen(self, seen_dirs: list) -> DataFrame:
+        """Union of the bucket-partitioned seen-url sidecars. Each root
+        is read separately (multi-root partition discovery conflicts)
+        and unioned — bucket-partition pruning applies per scan."""
+        from functools import reduce
+
+        parts = [
+            self.spark.read.parquet(os.path.join(self.dir, d))
+            for d in seen_dirs
+        ]
+        return reduce(DataFrame.unionByName, parts)
 
     # -- the foreachBatch body -------------------------------------------
     def _process_batch(self, batch: DataFrame, epoch_id: int) -> None:
@@ -96,17 +119,30 @@ class IncrementalIndexer:
         if self.cfg.normalize_urls:
             batch = batch.withColumn("url", normalize_url_col(F.col("url")))
         deduped = dedup_pages(batch)
-        if st["segments"]:
+        bucket_col = F.pmod(F.xxhash64(F.col("url")),
+                            F.lit(self.seen_buckets)).cast("int")
+        seen_dirs = st.get("seen_dirs", [])
+        if seen_dirs:
             # cross-segment dedup: first writer wins across epochs too.
-            # Column pruning keeps the anti-join shuffle to the url
-            # column only; at very large accumulated history this is
-            # still an url-keyed shuffle of the seen-set per epoch —
-            # the compaction path (compact()) is the pressure valve
-            # (post-compaction the seen-set restarts from segments),
-            # and a url-hash-bucketed docmeta layout would make the
-            # join shuffle-free under a bucketing-aware catalog.
-            seen = self.docmeta().select("url")
-            deduped = deduped.join(seen, "url", "left_anti")
+            # The seen-set lives in url-only sidecars PARTITIONED BY
+            # url_bucket; the anti-join (a) pushes `url_bucket IN
+            # (batch's buckets)` into the scan — a partition-pruned
+            # read, so a small batch never touches most of the history
+            # at rest — and (b) joins on (url_bucket, url) so the
+            # shuffle is bounded by matching buckets, not the full
+            # accumulated docmeta (VERDICT r2 #4).
+            with_b = deduped.withColumn("url_bucket", bucket_col)
+            batch_buckets = [
+                int(r[0])
+                for r in with_b.select("url_bucket").distinct().collect()
+            ]
+            seen = self._read_seen(seen_dirs).filter(
+                F.col("url_bucket").isin(batch_buckets)
+            )
+            self._last_seen_scan = seen  # plan-shape tests
+            deduped = with_b.join(
+                seen, ["url_bucket", "url"], "left_anti"
+            ).drop("url_bucket")
         # deterministic dense ids continuing from the high-water mark,
         # assigned with the SAME two-pass per-partition-offset scheme as
         # the batch build (url-range partitions stay parallel — the old
@@ -142,9 +178,27 @@ class IncrementalIndexer:
             ),
             "text",
         ).write.mode("overwrite").parquet(os.path.join(seg_dir, "docmeta"))
+        # url-only seen sidecar, partitioned by url_bucket (overwrite →
+        # idempotent on epoch replay like the segment itself)
+        docs.select("url").withColumn("url_bucket", bucket_col).write.mode(
+            "overwrite"
+        ).partitionBy("url_bucket").parquet(os.path.join(seg_dir, "seen_urls"))
         docs.unpersist()
         st["next_doc_id"] += int(n)
         st["segments"].append(seg)
+        seen_dirs = seen_dirs + [os.path.join("segments", seg, "seen_urls")]
+        if len(seen_dirs) > self.seen_compact_after:
+            # fold all sidecars into one bucketed base: per-epoch dedup
+            # reads O(1) datasets instead of one per historical segment
+            merged_rel = os.path.join("seen_base", f"upto_{epoch_id:06d}")
+            (
+                self._read_seen(seen_dirs)
+                .write.mode("overwrite")
+                .partitionBy("url_bucket")
+                .parquet(os.path.join(self.dir, merged_rel))
+            )
+            seen_dirs = [merged_rel]
+        st["seen_dirs"] = seen_dirs
         self._write_state(st)
 
     # -- public API -------------------------------------------------------

@@ -116,6 +116,58 @@ def test_compact_matches_batch_search(spark, tmp_path):
     assert "text" in store.read_stage(spark, "docs").columns
 
 
+def test_cross_segment_dedup_bucket_pruned_and_compacted(spark, tmp_path):
+    """VERDICT r2 #4: the per-epoch URL dedup must (a) read the seen-set
+    through a bucket-partition-pruned scan, not all accumulated docmeta,
+    (b) auto-fold sidecars into one base once seen_compact_after is
+    exceeded, and (c) leave doc ids exactly as the unbounded anti-join
+    would."""
+    landing = str(tmp_path / "landing")
+    idx = str(tmp_path / "idx")
+    os.makedirs(landing)
+    text = lambda i: f"сигма тау doc{i} токен"
+
+    ixer = IncrementalIndexer(spark, idx, CFG, seen_buckets=8,
+                              seen_compact_after=2)
+    # epoch 1: urls 0..5
+    _write_batch(spark, landing, _rows(range(0, 6), text))
+    ixer.start(landing).awaitTermination(120)
+    assert ixer._read_state()["next_doc_id"] == 6
+
+    # epoch 2: urls 2..7 — 2..5 are dups and must be dropped
+    _write_batch(spark, landing, _rows(range(2, 8), text))
+    ixer.start(landing).awaitTermination(120)
+    st = ixer._read_state()
+    assert st["next_doc_id"] == 8
+    # the seen-set scan is partition-pruned on url_bucket (IN the
+    # batch's buckets) — not a full read of accumulated history
+    plan = (
+        ixer._last_seen_scan._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "url_bucket" in plan, plan
+    assert len(st["seen_dirs"]) == 2  # one sidecar per segment so far
+
+    # epoch 3: urls 8..11 plus a replay of url 0 → sidecar count exceeds
+    # seen_compact_after=2 → folded into one seen_base
+    _write_batch(spark, landing, _rows([8, 9, 10, 11, 0], text))
+    ixer.start(landing).awaitTermination(120)
+    st = ixer._read_state()
+    assert st["next_doc_id"] == 12
+    assert len(st["seen_dirs"]) == 1 and st["seen_dirs"][0].startswith(
+        "seen_base"
+    ), st["seen_dirs"]
+    # ids dense and url-ordered per epoch — identical to the unbounded join
+    ids = sorted(r["doc_id"] for r in ixer.docmeta().collect())
+    assert ids == list(range(12))
+    urls = {r["url"] for r in ixer.docmeta().collect()}
+    assert len(urls) == 12  # no duplicate url ever re-indexed
+
+    # epoch 4 dedups against the compacted base (urls 0..3 all dups)
+    _write_batch(spark, landing, _rows(range(0, 4), text))
+    ixer.start(landing).awaitTermination(120)
+    assert ixer._read_state()["next_doc_id"] == 12
+
+
 def test_streaming_windowed_term_counts(spark, tmp_path):
     landing = str(tmp_path / "landing")
     out = str(tmp_path / "out")
