@@ -251,6 +251,18 @@ def _q_bool_not(spark, sf_dir):
     )
 
 
+def _q_source_filter(spark, sf_dir):
+    """Metadata-filtered top-k (reference "source-filter" query class,
+    report/main.tex:1244-1263): rank only docs whose docmeta lang='de',
+    the filter pushed into a doc_id-only docmeta scan."""
+    eng = _engine(spark, sf_dir)
+    out = eng.search(
+        "join && fast", k=10, with_meta=False,
+        meta_filter=F.col("lang") == "de",
+    )
+    return _r6(_orig_ids(eng, out), "score").select("doc_id", "score")
+
+
 def _q_bool_complex(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     q = "(join && fast) || (slow && !vector)"
@@ -678,6 +690,18 @@ def _q_regex_search(spark, sf_dir):
     ).select("doc_id")
 
 
+def _q_regex_bool(spark, sf_dir):
+    """Composed V16: AND list of regex conditions with an embedded NOT
+    (simple_python_search.py grammar; VERDICT r2 #7)."""
+    from search_engine_spark.operators.exports import regex_search_query
+
+    # \s instead of a literal trailing space: the grammar strips each
+    # condition token (reference parse_query does the same)
+    return regex_search_query(
+        _docs(spark, sf_dir), r"join (the|a|big)\s && fast && !vector"
+    ).select("doc_id")
+
+
 def _q_index_valid(spark, sf_dir):
     from search_engine_spark.operators.index_build import validate_index
 
@@ -773,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or": _q_bm25_or,
         "bool_not": _q_bool_not,
         "bool_complex": _q_bool_complex,
+        "source_filter": _q_source_filter,
         "phrase": _q_phrase,
         "phrase_scored": _q_phrase_scored,
         "proximity": _q_proximity,
@@ -807,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alt_simple_tokens": _q_alt_simple_tokens,
         "alt_zipf_freq": _q_alt_zipf_freq,
         "regex_search": _q_regex_search,
+        "regex_bool": _q_regex_bool,
         "index_valid": _q_index_valid,
         "vocab_growth": _q_vocab_growth,
         "events_latest": _q_events_latest,
@@ -956,6 +982,19 @@ rhs AS (
 SELECT doc_id,
        round(coalesce(lhs.s, 0.0) + coalesce(rhs.s, 0.0), 6) AS score
 FROM lhs FULL OUTER JOIN rhs USING (doc_id)
+""",
+        # top-k of (join && fast) restricted to lang='de' — the filter
+        # applies BEFORE the limit
+        "source_filter": _BM25 + """
+, anded AS (
+  SELECT a.doc_id, a.s + b.s AS s
+  FROM score a JOIN score b USING (doc_id)
+  WHERE a.term = 'join' AND b.term = 'fast'
+)
+SELECT x.doc_id, round(x.s, 6) AS score
+FROM anded x JOIN documents d USING (doc_id)
+WHERE d.lang = 'de'
+ORDER BY x.s DESC, x.doc_id ASC LIMIT 10
 """,
         # phrase candidates (consecutive ordinals) scored with the sum of
         # both terms' BM25 contributions
@@ -1261,6 +1300,12 @@ GROUP BY term ORDER BY freq DESC, term ASC LIMIT 30
 SELECT doc_id FROM documents
 WHERE regexp_matches(text, 'join (the|a|big) ', 'i')
   AND NOT regexp_matches(text, 'dup', 'i')
+""",
+        "regex_bool": """
+SELECT doc_id FROM documents
+WHERE regexp_matches(text, 'join (the|a|big)\\s', 'i')
+  AND regexp_matches(text, 'fast', 'i')
+  AND NOT regexp_matches(text, 'vector', 'i')
 """,
         "index_valid": """
 SELECT true AS ok, 0::BIGINT AS orphans, 0::BIGINT AS df_mismatches,

@@ -194,3 +194,52 @@ def regex_search(docs: DataFrame, pattern: str,
     if k is not None:
         out = out.limit(k)
     return out
+
+
+def regex_search_query(docs: DataFrame, query: str,
+                       text_col: str = "text",
+                       title_col: Optional[str] = None,
+                       k: Optional[int] = None) -> DataFrame:
+    """V16 composed (VERDICT r2 #7): boolean AND/OR/NOT lists of regex
+    conditions, mirroring the reference's query grammar
+    (simple_python_search.py:41-64): split on '&&' → AND of conditions,
+    else '||' → OR, else a leading '!' → NOT, else whitespace-separated
+    implicit AND. Each positive condition matches when the
+    case-insensitive regex hits the title OR the text (the reference's
+    $or over both fields, :92-146); a NOT condition requires neither.
+
+    Divergence, recorded: the reference's parser only strips '!' on a
+    bare single-condition query, so '!x' INSIDE a compound query is
+    regex-matched literally there; here '!'-prefixed conditions negate
+    in every position — the evident intent of the grammar. Everything
+    stays `rlike` column logic (JVM regex, whole-stage codegen)."""
+    from functools import reduce as _reduce
+
+    def cond(term: str):
+        c = F.col(text_col).rlike(f"(?i){term}")
+        if title_col is not None:
+            c = c | F.col(title_col).rlike(f"(?i){term}")
+        return c
+
+    def signed(part: str):
+        part = part.strip()
+        if part.startswith("!"):
+            return ~cond(part[1:].strip())
+        return cond(part)
+
+    q = query.strip().lower()
+    if "&&" in q:
+        pred = _reduce(lambda a, b: a & b,
+                       [signed(p) for p in q.split("&&")])
+    elif "||" in q:
+        pred = _reduce(lambda a, b: a | b,
+                       [signed(p) for p in q.split("||")])
+    elif q.startswith("!"):
+        pred = ~cond(q[1:].strip())
+    else:
+        parts = q.split()
+        pred = _reduce(lambda a, b: a & b, [cond(p) for p in parts])
+    out = docs.filter(pred)
+    if k is not None:
+        out = out.limit(k)
+    return out

@@ -715,14 +715,37 @@ class SearchEngine:
 
     # -- public API -------------------------------------------------------
     def search(
-        self, query: str, k: Optional[int] = None, with_meta: bool = True
+        self,
+        query: str,
+        k: Optional[int] = None,
+        with_meta: bool = True,
+        meta_filter=None,
     ) -> DataFrame:
-        """Top-k ranked (doc_id, score[, url, title]) — V7/V8/V10."""
+        """Top-k ranked (doc_id, score[, url, title]) — V7/V8/V10.
+
+        ``meta_filter`` (the reference report's "source-filter" query
+        class, report/main.tex:1244-1263): an optional pyspark Column
+        predicate over docmeta columns (lang, url, title, doc_len…)
+        restricting the ranked universe, e.g.
+        ``F.col("lang") == "ru"`` or ``F.col("url").startswith(…)``.
+        Applied as a pushable filter on a doc_id-only docmeta scan
+        semi-joined with the score set BEFORE top-k — never a post-hoc
+        trim of k rows (which would under-fill). Block-max pruning is
+        bypassed under a filter: a pruned-path θ is computed over the
+        unfiltered universe and would over-prune blocks holding
+        filtered-in docs below it (a filter-aware θ needs per-block
+        per-predicate max scores)."""
         k = k or self.cfg.default_top_k
         t0 = time.time()
         ast = qp.parse(query)
         if ast is None:
             out = self.spark.createDataFrame([], _SCORE_SCHEMA)
+        elif meta_filter is not None:
+            allowed = self.docmeta.filter(meta_filter).select("doc_id")
+            self._last_meta_scan = allowed  # plan-shape tests
+            stats = self.term_stats(qp.extract_terms(ast))
+            scores = self._eval(ast, stats).join(allowed, "doc_id", "leftsemi")
+            out = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         else:
             stats = self.term_stats(qp.extract_terms(ast))
             and_terms = self._flatten_and_terms(ast)

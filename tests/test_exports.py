@@ -78,6 +78,34 @@ def test_regex_search(spark):
     assert got == {0}
 
 
+def test_regex_search_query_boolean_composition(spark):
+    """V16 composed (VERDICT r2 #7): &&-lists with embedded !, ||-lists,
+    bare !, implicit whitespace AND, and title-OR-text matching."""
+    from search_engine_spark.operators.exports import regex_search_query
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Intro", "apache spark engine"),
+            (1, "Spark", "plugs and coils"),
+            (2, "Other", "hadoop mapreduce"),
+            (3, "Mix", "spark and hadoop together"),
+        ],
+        "doc_id long, title string, text string",
+    )
+    run = lambda q, **kw: {
+        r["doc_id"] for r in regex_search_query(docs, q, **kw).collect()
+    }
+    assert run("spark && !hadoop") == {0}  # text-only by default
+    assert run("spark && !hadoop", title_col="title") == {0, 1}
+    assert run("spark || hadoop") == {0, 2, 3}
+    assert run("!spark") == {1, 2}
+    assert run("spark hadoop") == {3}  # implicit AND
+    assert run("spark && engine") == {0}
+    # title-OR-text: doc 1 matches 'spark' only through its title
+    assert run("spark", title_col="title") == {0, 1, 3}
+    assert run("spark") == {0, 3}
+
+
 def test_flat_text_export_and_sidecar(spark, built, tmp_path):
     from search_engine_spark.operators.exports import flat_text_export
 

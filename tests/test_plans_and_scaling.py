@@ -61,6 +61,41 @@ def test_hit_enrichment_pushes_docid_in_filter(spark, tmp_path):
     assert row["url"] is not None and row["title"] is not None
 
 
+def test_meta_filtered_search_pushes_predicate(spark, tmp_path):
+    """search(meta_filter=…) (VERDICT r2 #6): the predicate is pushed
+    into a doc_id-only docmeta scan, the filter applies BEFORE top-k
+    (not a post-hoc trim), and results equal the hand-filtered truth."""
+    out = str(tmp_path / "idx")
+    build_index(spark, pages_df(spark, n_docs=120, seed=5), out,
+                EngineConfig(index_partitions=4))
+    eng = SearchEngine(spark, out, cache=False)
+    # urls doc000100..doc000119 — a selective 20-of-120 predicate
+    prefix = "https://example.org/wiki/doc0001"
+    pred = F.col("url").startswith(prefix)
+    got = eng.search("математика", k=5, with_meta=False, meta_filter=pred)
+    scan_plan = (
+        eng._last_meta_scan._jdf.queryExecution().executedPlan().toString()
+    )
+    assert f"StringStartsWith(url,{prefix})" in scan_plan, scan_plan
+    # column pruning: the allowed-set scan reads doc_id (+ the filter
+    # column), never url/title/text-adjacent columns
+    assert "title" not in scan_plan.split("ReadSchema")[1][:300]
+    allowed = {
+        r["doc_id"] for r in eng.docmeta.filter(pred).collect()
+    }
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in eng.scores_df("математика")
+        .filter(F.col("doc_id").isin(list(allowed)))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(5)
+        .collect()
+    ]
+    assert [
+        (r["doc_id"], round(r["score"], 9)) for r in got.collect()
+    ] == want
+
+
 def test_snippet_join_pushes_docid_in_filter(spark, tmp_path):
     out = str(tmp_path / "idx")
     build_index(spark, pages_df(spark, n_docs=120, seed=5), out,
