@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import re
 from typing import Dict, Iterable, Iterator, List, Optional, Tuple
-from urllib.parse import urldefrag, urljoin, urlparse
+from urllib.parse import urljoin, urlparse
 
 import pandas as pd
 from pyspark.sql import Column
@@ -45,22 +45,25 @@ from search_engine_spark.functions.html_extract import Node, parse_html
 # ---------------------------------------------------------------------------
 
 
-def normalize_url(url: str) -> Optional[str]:
-    """Reference `_normalize_url`: drop the fragment, default the scheme
-    to http://, lowercase the whole reconstructed URL (the reference
-    lowercases ``parsed.geturl()``, not just the host)."""
-    try:
-        url, _ = urldefrag(url)
-        parsed = urlparse(url)
-        if not parsed.scheme:
-            url = "http://" + url
-            parsed = urlparse(url)
-        return parsed.geturl().lower()
-    except ValueError:
-        return None
-
-
 _SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
+
+
+def normalize_url(url: str) -> Optional[str]:
+    """Reference `_normalize_url` rule (drop the fragment, default the
+    scheme to http://, lowercase the whole URL), implemented with the
+    SAME regex semantics as :func:`normalize_url_col` so the Python
+    refmodel and the JVM build path can never disagree (ADVICE r2: the
+    earlier urlparse().geturl() form returned None on malformed urls
+    and re-assembled others — e.g. dropped a bare trailing '?' — which
+    the column form kept; an exotic url then surfaced as an
+    engine/oracle doc_id mismatch). The reference lowercases
+    ``parsed.geturl()``, not just the host; for well-formed web urls
+    the two formulations agree (unit-pinned), and malformed ones now
+    normalize identically on both sides by construction."""
+    url = re.sub(r"#.*", "", url)
+    if not re.match(_SCHEME_RE, url):
+        url = "http://" + url
+    return url.lower()
 
 
 def normalize_url_col(c: Column) -> Column:

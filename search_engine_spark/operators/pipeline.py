@@ -10,6 +10,8 @@ pipeline runs between crawl and tokenizer:
       │ 4. near-dup removal       (n-gram Jaccard ≥ threshold via
       │                            MinHash-LSH candidates + exact verify;
       │                            drop the higher id of every pair)
+      │ 5. decontamination        (optional: drop docs sharing any
+      │                            13-gram with a benchmark set)
       ▼
     curated docs (+ per-stage counts report)
 
@@ -85,10 +87,19 @@ def curate(
     id_col: str = "doc_id",
     text_col: str = "text",
     with_report: bool = True,
+    benchmark: Optional[DataFrame] = None,
+    decontam_ngram: int = 13,
+    bench_text_col: str = "text",
 ):
     """Returns (curated_df, report_dict) — report has per-stage counts
     when ``with_report`` (it triggers counting jobs; pass False to keep
-    the plan fully lazy)."""
+    the plan fully lazy).
+
+    ``benchmark`` (VERDICT r2 #8) adds a final decontamination stage:
+    documents sharing any ``decontam_ngram``-gram with the benchmark
+    set are dropped (the standard 13-gram test-set-leakage rule),
+    keeping the full curation story one call deep. Runs LAST — spending
+    the benchmark join only on docs that survived the cheaper filters."""
     report = {}
     if with_report:
         report["input"] = docs.count()
@@ -119,5 +130,13 @@ def curate(
         out = out.join(drop, id_col, "left_anti")
         if with_report:
             report["after_near_dedup"] = out.count()
+
+    if benchmark is not None:
+        out, _contaminated = decontaminate(
+            out, benchmark, n=decontam_ngram, id_col=id_col,
+            text_col=text_col, bench_text_col=bench_text_col,
+        )
+        if with_report:
+            report["after_decontamination"] = out.count()
 
     return out, report

@@ -210,10 +210,13 @@ def text_file_pages(spark, path: str):
 
     lines = spark.read.text(path).filter(F.col("value") != "")
     numbered = _add_partition_offset_ids(spark, lines, col_name="_ord")
+    # '%' in the filesystem path would corrupt the format spec (ADVICE
+    # r2): escape it before embedding the path in the template
+    path_tpl = path.replace("%", "%%")
     out = numbered.select(
-        F.format_string(f"file://{path}?line=%09d", F.col("_ord") + 1).alias(
-            "url"
-        ),
+        F.format_string(
+            f"file://{path_tpl}?line=%09d", F.col("_ord") + 1
+        ).alias("url"),
         F.lit(None).cast("timestamp").alias("warc_ts"),
         F.lit(None).cast("binary").alias("html"),
         F.col("value").alias("text"),

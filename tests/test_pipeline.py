@@ -45,6 +45,33 @@ def test_curate_lsh_equals_bruteforce(spark, docs):
     )
 
 
+def test_curate_with_decontamination_stage(spark, docs):
+    """VERDICT r2 #8: curate(benchmark=…) drops a planted contaminated
+    doc as the final stage; all other stage outcomes unchanged."""
+    from search_engine_spark.operators.pipeline import curate
+
+    # doc 3 shares its full 8-token text with the benchmark; doc 0 is clean
+    bench = spark.createDataFrame(
+        [("zz zulu yankee xray whiskey victor uniform tango sierra ww",)],
+        "text string",
+    )
+    out, report = curate(
+        docs, langs=["en"], min_quality=0.7, near_dup_threshold=0.8,
+        use_lsh=False, benchmark=bench, decontam_ngram=8,
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [0]  # doc 3 contaminated, everything else as before
+    assert report["after_near_dedup"] == 2
+    assert report["after_decontamination"] == 1
+    # no benchmark → stage skipped, report key absent
+    out2, report2 = curate(
+        docs, langs=["en"], min_quality=0.7, near_dup_threshold=0.8,
+        use_lsh=False,
+    )
+    assert "after_decontamination" not in report2
+    assert sorted(r["doc_id"] for r in out2.collect()) == [0, 3]
+
+
 def test_decontaminate_planted_overlap(spark):
     from search_engine_spark.operators.pipeline import decontaminate
 

@@ -197,14 +197,43 @@ def test_normalize_url_python():
         assert normalize_url(raw) == want, raw
 
 
+ADVERSARIAL_URLS = [
+    # ADVICE r2: inputs where the old urlparse().geturl() refmodel form
+    # diverged from the column form (returned None / re-assembled).
+    "#",
+    "a#",
+    "#only-fragment",
+    "mailto:User@Example.COM",
+    "tel:+1-800-FLOWERS",
+    "http://host:not_a_port/Path",
+    "http://[::1]:80/Path#Frag",
+    "http://[unclosed/bracket#f",
+    "http://h/Path?",       # bare trailing '?' must survive
+    "??",
+    "%20Space/Path#x",
+    "HTTP://H/#a#b",
+    "javascript:void(0)#x",
+]
+
+
 def test_normalize_url_column_matches_python(spark):
-    df = spark.createDataFrame([(r,) for r, _ in NORM_CASES], "url string")
+    """The Python refmodel form and the JVM column form must agree on
+    EVERY input — well-formed and adversarial alike (ADVICE r2) — since
+    build_docs uses the column form while the oracle refmodel uses the
+    Python form; any divergence surfaces as a doc_id mismatch."""
+    raws = [r for r, _ in NORM_CASES] + ADVERSARIAL_URLS
+    df = spark.createDataFrame([(r,) for r in raws], "url string")
     got = [
         r["n"]
         for r in df.select(normalize_url_col(F.col("url")).alias("n"))
         .collect()
     ]
-    assert got == [want for _, want in NORM_CASES]
+    assert got == [normalize_url(r) for r in raws]
+    assert got[: len(NORM_CASES)] == [want for _, want in NORM_CASES]
+    # pin a few adversarial outcomes to the rule itself
+    assert normalize_url("#") == "http://"
+    assert normalize_url("http://h/Path?") == "http://h/path?"
+    assert normalize_url("mailto:User@Example.COM") == "mailto:user@example.com"
 
 
 def test_url_normalization_collapses_planted_dups(spark, tmp_path):
