@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from search_engine_spark.config import EngineConfig
+from search_engine_spark.operators.dedup import DEFAULT_MAX_SHINGLE_DF
 
 # ---------------------------------------------------------------------------
 # corpus + memoized index
@@ -173,6 +174,38 @@ inter AS (
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
+SELECT id_a, id_b,
+       round(i * 1.0 / (na.n_sh + nb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN shn na ON na.doc_id = id_a
+JOIN shn nb ON nb.doc_id = id_b
+WHERE i * 1.0 / (na.n_sh + nb.n_sh - i) >= 0.8
+"""
+
+# df-capped candidate generation mirroring ngram_jaccard_pairs'
+# max_shingle_df default (ADVICE r2: the engine drops shingles above
+# the cap when generating candidates — only there; Jaccard is still
+# exact over the full shingle universe — so the oracle must share that
+# candidate-generation rule or a boilerplate-heavy corpus diverges).
+# Used for the ngram-exact operators only; the MinHash/SimHash engines
+# sketch ALL shingles, so their ground truth stays the uncapped query.
+_CAND_CAPPED = f""",
+rare AS (SELECT shingle FROM sh GROUP BY shingle
+         HAVING count(*) <= {DEFAULT_MAX_SHINGLE_DF}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN rare USING (shingle)
+  JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)"""
+
+_JACCARD_PAIRS_CAPPED = _SHINGLES + _CAND_CAPPED + """
 SELECT id_a, id_b,
        round(i * 1.0 / (na.n_sh + nb.n_sh - i), 6) AS jaccard
 FROM inter
@@ -333,7 +366,7 @@ def _q_zipf_rank(spark, sf_dir):
 
     eng = _engine(spark, sf_dir)
     freqs = eng.dictionary.select("term", F.col("cf").cast("long").alias("freq"))
-    return zipf_rank_table(freqs).limit(100)
+    return zipf_rank_table(freqs, n_terms=eng.n_terms).limit(100)
 
 
 def _q_zipf_fit(spark, sf_dir):
@@ -341,7 +374,8 @@ def _q_zipf_fit(spark, sf_dir):
 
     eng = _engine(spark, sf_dir)
     freqs = eng.dictionary.select("term", F.col("cf").cast("long").alias("freq"))
-    return _r6(zipf_fit(zipf_rank_table(freqs)), "c", "s", "r2")
+    return _r6(zipf_fit(zipf_rank_table(freqs, n_terms=eng.n_terms)),
+               "c", "s", "r2")
 
 
 def _q_entropy(spark, sf_dir):
@@ -365,8 +399,8 @@ def _q_coverage(spark, sf_dir):
 
     eng = _engine(spark, sf_dir)
     freqs = eng.dictionary.select("term", F.col("cf").cast("long").alias("freq"))
-    return _r6(coverage(zipf_rank_table(freqs)), "top10_coverage",
-               "top100_coverage")
+    return _r6(coverage(zipf_rank_table(freqs, n_terms=eng.n_terms)),
+               "top10_coverage", "top100_coverage")
 
 
 def _q_lang_stats(spark, sf_dir):
@@ -1125,18 +1159,15 @@ SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_copies,
        min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text)
 """,
-        "dedup_ngram": _JACCARD_PAIRS,
+        "dedup_ngram": _JACCARD_PAIRS_CAPPED,
         "dedup_minhash": _JACCARD_PAIRS,
         "dedup_simhash": _JACCARD_PAIRS,
         # connected components over the same exact-Jaccard pairs via a
-        # recursive CTE (min reachable label per node)
+        # recursive CTE (min reachable label per node); pairs use the
+        # same df-capped candidate generation as the engine's
+        # ngram_jaccard_pairs call
         "dup_components": _SHINGLES.replace("WITH ", "WITH RECURSIVE ", 1)
-        + """,
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
+        + _CAND_CAPPED + """,
 pairs AS (
   SELECT id_a, id_b FROM inter
   JOIN shn na ON na.doc_id = id_a

@@ -110,7 +110,9 @@ def main() -> None:
         freqs = eng.dictionary.select(
             "term", F.col("cf").cast("long").alias("freq")
         )
-        bench("q_zipf", lambda: zipf_fit(zipf_rank_table(freqs)).collect())
+        bench("q_zipf", lambda: zipf_fit(
+            zipf_rank_table(freqs, n_terms=eng.n_terms)
+        ).collect())
 
         from search_engine_spark.operators.dedup import minhash_lsh_pairs
 
@@ -137,6 +139,10 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "index_build_runs_sec": build_runs,
+                    # run 1 is the cold build — the number comparable
+                    # to round-1's single-cold-build headline (ADVICE
+                    # r2); the min above is the steady-state throughput
+                    "index_build_cold_sec": build_runs[0],
                     "sf": sf_dir,
                     "n_docs": n_docs,
                     "cpus": cpus,

@@ -75,6 +75,12 @@ def drop_exact_dups(docs: DataFrame, id_col: str = "doc_id",
 # shingle table + exact Jaccard verification (shared by all near-dup ops)
 # ---------------------------------------------------------------------------
 
+# Candidate-generation df cap for ngram_jaccard_pairs. The driver-gate
+# oracle SQL mirrors this constant (ADVICE r2: engine and oracle must
+# share candidate-generation semantics, or a pair whose shared shingles
+# all exceed the cap surfaces as a gate failure at larger corpora).
+DEFAULT_MAX_SHINGLE_DF = 256
+
 
 def shingle_table(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
@@ -116,7 +122,8 @@ def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
                         id_col: str = "doc_id", text_col: str = "text",
-                        max_shingle_df: int | None = 256) -> DataFrame:
+                        max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+                        ) -> DataFrame:
     """Exact near-dup pairs (id_a < id_b, jaccard ≥ threshold) over
     word n-gram shingles. The shuffle is the shingle equi-join —
     linear in shingle postings, not quadratic in docs.

@@ -86,6 +86,9 @@ class SearchEngine:
         self.cfg = EngineConfig.from_dict(meta["config"])
         self.n_docs: int = meta["n_docs"]
         self.avgdl: float = meta["avgdl"] or 1.0
+        # vocabulary size from build-time stats — lets analytics skip
+        # their dictionary-size probe job (ADVICE r2); None if absent
+        self.n_terms = (meta.get("stats") or {}).get("total_terms") or None
         self.blocks = self.store.read_stage(spark, "blocks")
         self.docmeta = self.store.read_stage(spark, "docmeta")
         self.dictionary = self.store.read_stage(spark, "dictionary")
