@@ -44,6 +44,37 @@ def vb_encode(values: Sequence[int]) -> bytes:
     return bytes(out)
 
 
+def vb_encode_arr(values: np.ndarray) -> Tuple[bytes, np.ndarray]:
+    """Vectorized varbyte encode of an int64 array.
+
+    Returns (payload, n_bytes_per_value) — the per-value byte counts let
+    a caller that encoded MANY logical sequences in one call (e.g. every
+    block of an Arrow batch) slice the payload back apart with a prefix
+    sum. Byte-identical to :func:`vb_encode` (property-tested)."""
+    v = np.asarray(values, dtype=np.int64)
+    if v.size == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    if (v < 0).any():
+        raise ValueError("varbyte encodes non-negative ints only")
+    u = v.astype(np.uint64)
+    nb = np.ones(len(u), dtype=np.int64)
+    x = u >> np.uint64(7)
+    while x.any():
+        nb += x > 0
+        x >>= np.uint64(7)
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    rem = u.copy()
+    for k in range(int(nb.max())):
+        mask = nb > k
+        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[mask] > k + 1).astype(np.uint8) << 7
+        out[starts[mask] + k] = byte | cont
+        rem[mask] >>= np.uint64(7)
+    return out.tobytes(), nb
+
+
 def vb_decode(data: bytes) -> np.ndarray:
     """Vectorized varbyte decode -> int64 array."""
     if not data:

