@@ -97,6 +97,14 @@ def main() -> None:
         bench("q_and", lambda: eng.search("join && fast", 10).collect())
         bench("q_or", lambda: eng.search("slow || vector", 10).collect())
         bench("q_not", lambda: eng.search("join && !fast", 10).collect())
+        # mixed AND/OR tree — exercises the general boolean-tree WAND
+        # path (same shape as the gate's bool_complex query)
+        bench(
+            "q_bool_mixed",
+            lambda: eng.search(
+                "(join && fast) || (slow && !vector)", 10
+            ).collect(),
+        )
         bench("q_phrase", lambda: eng.search('"table scan"', 10).collect())
         bench(
             "q_mlt", lambda: eng.more_like_this(0, 10).collect()

@@ -150,6 +150,9 @@ def main() -> int:
     ap.add_argument("--workers-pair", default="1,4")
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--corpus", default=None)
+    ap.add_argument("--only", type=int, default=None,
+                    help="measure just this worker count (extra trials "
+                         "for best-of-K merging; writes raw samples)")
     ap.add_argument("--out",
                     default=os.path.join(REPO, "BENCH_SCALING_CLUSTER.json"))
     args = ap.parse_args()
@@ -169,6 +172,21 @@ def main() -> int:
         spark.stop()
 
     zip_path = package_zip()
+    if args.only is not None:
+        run_dir = tempfile.mkdtemp(prefix="se_cluster_", dir=base)
+        samples = []
+        for trial in range(args.trials):
+            cl = Cluster(args.only, run_dir)
+            try:
+                r = run_build(args.only, corpus, zip_path, run_dir)
+            finally:
+                cl.stop()
+            samples.append(r)
+            print(f"trial {trial} {args.only} worker(s): {r}", flush=True)
+        with open(args.out, "w") as f:
+            json.dump({"only_workers": args.only, "samples": samples},
+                      f, indent=1)
+        return 0
     n_lo, n_hi = (int(x) for x in args.workers_pair.split(","))
     assert n_hi == 4 * n_lo, "pair must be N,4N"
     run_dir = tempfile.mkdtemp(prefix="se_cluster_", dir=base)
