@@ -68,7 +68,7 @@ def main() -> None:
     cfg = EngineConfig(index_partitions=parts)
     c0 = _sys_cpu_s()
     t0 = time.time()
-    build_index(spark, pages, args.output, cfg=cfg, resume=False)
+    store = build_index(spark, pages, args.output, cfg=cfg, resume=False)
     build_s = time.time() - t0
     cpu_s = _sys_cpu_s() - c0
     print(
@@ -79,6 +79,7 @@ def main() -> None:
                 "build_s": round(build_s, 3),
                 "docs_per_sec": round(n_docs / build_s, 3),
                 "cpu_s": round(cpu_s, 1),
+                "stage_s": store.read_meta().get("timings", {}),
             }
         )
     )
