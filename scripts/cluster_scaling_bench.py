@@ -112,6 +112,27 @@ class Cluster:
                 p.kill()
 
 
+def box_state_probe() -> dict:
+    """One fast stream-probe sample (scripts/membw_probe.py) recorded
+    with every scaling trial: this microVM's aggregate memory
+    bandwidth is bimodal (measured 20.5 GB/s healthy vs ~7 GB/s in a
+    degraded stretch), and a 4-worker build in a degraded window is
+    bandwidth-starved in a way a 1-worker build is not — silently
+    corrupting the N->4N ratio. Recording the probe makes each
+    sample's box state auditable."""
+    import importlib
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    probe = importlib.import_module("membw_probe")
+    one = probe.best_of("stream", [0], 1)[0]
+    four = probe.best_of("stream", [0, 1, 2, 3], 1)
+    gb = 25 * 2 * 400_000_000 / 1e9
+    return {
+        "stream_bw_1core_gb_s": round(gb / one, 2),
+        "stream_bw_4core_total_gb_s": round(sum(gb / t for t in four), 2),
+    }
+
+
 def run_build(n_workers: int, corpus: str, zip_path: str, base_dir: str,
               partitions: int = 32) -> dict:
     out_dir = tempfile.mkdtemp(prefix=f"se_cluster_idx_{n_workers}_",
@@ -181,6 +202,7 @@ def main() -> int:
                 r = run_build(args.only, corpus, zip_path, run_dir)
             finally:
                 cl.stop()
+            r["box_state"] = box_state_probe()
             samples.append(r)
             print(f"trial {trial} {args.only} worker(s): {r}", flush=True)
         with open(args.out, "w") as f:
@@ -198,6 +220,7 @@ def main() -> int:
                 r = run_build(k, corpus, zip_path, run_dir)
             finally:
                 cl.stop()
+            r["box_state"] = box_state_probe()
             samples[k].append(r)
             print(f"trial {trial} {k} worker(s): {r}", flush=True)
     results = {}
