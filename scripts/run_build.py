@@ -41,6 +41,12 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # mirror build_session: zstd for persist/shuffle/parquet —
+        # bytes moved, not CPU, are the binding constraint both on a
+        # real cluster (network/disk) and on this bandwidth-capped box
+        .config("spark.rdd.compress", "true")
+        .config("spark.io.compression.codec", "zstd")
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")

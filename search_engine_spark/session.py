@@ -86,6 +86,19 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
+        # Bytes-moved is the scarce resource at cluster scale (network,
+        # shuffle disk) — and on this microVM, whose ~7 GB/s total
+        # memory-bandwidth ceiling is shared by all cores (measured:
+        # 4 concurrent single-core streams get 0.25x each). Compress
+        # every at-rest / in-flight byte stream with zstd: persist
+        # blocks (the docs stage persists the full extracted corpus),
+        # shuffle blocks, and the stage parquet that is re-read by
+        # every downstream stage. Text compresses 3-5x; the CPU cost
+        # rides on cores that scale, the bytes ride on a bus that
+        # doesn't.
+        .config("spark.rdd.compress", "true")
+        .config("spark.io.compression.codec", "zstd")
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
