@@ -537,9 +537,22 @@ def _q_ann_lsh(spark, sf_dir):
 def _q_ann_ivf(spark, sf_dir):
     from search_engine_spark.operators.similarity import IvfIndex
 
-    q = _query_vec(spark, sf_dir, 0)
-    idx = IvfIndex(_emb(spark, sf_dir), n_centroids=16)
-    return _r6(idx.query(q, k=10, nprobe=8, exclude_id=0), "cos")
+    # Same planted sidecar as ann_lsh: the query's true top-10 are its
+    # ≥0.98-cos planted neighbors, which kmeans puts in the query's own
+    # cell(s), so a 4-of-16-cell probe recovers the exact brute-force
+    # top-10 over the union — giving IVF a real value oracle while the
+    # candidate-fraction assertion proves it is still pruning.
+    allv, q = _planted_emb(spark, sf_dir)
+    idx = IvfIndex(allv, n_centroids=16)
+    out = _r6(
+        idx.query(q, k=10, nprobe=4, exclude_id=0, count_candidates=True),
+        "cos",
+    )
+    n = allv.count()
+    assert idx.last_candidate_count / n <= 0.5, (
+        f"IVF probed {idx.last_candidate_count}/{n} vectors — not pruning"
+    )
+    return out
 
 
 def _q_lang_id(spark, sf_dir):
@@ -968,12 +981,34 @@ SELECT doc_id,
 FROM base
 """
     )
-    return {
+    out = {
         "term_freq": "WITH " + _TOKS
         + "SELECT term, count(*)::BIGINT AS freq FROM toks GROUP BY term",
         "dictionary": "WITH " + _TOKS + """
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
 FROM toks GROUP BY term
+""",
+        # Z6: the 50 selected docs are the doc_id-prefix of `documents`
+        # (tokens_df keeps empty-token docs), so cumulative vocab size
+        # is the running sum of per-doc first-seen term counts.
+        "vocab_growth": "WITH " + _TOKS + """
+, sel AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS doc_rank
+  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50)
+),
+counts AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+firsts AS (SELECT term, min(doc_id) AS fdoc FROM toks GROUP BY term),
+news AS (SELECT fdoc AS doc_id, count(*) AS new_terms
+         FROM firsts GROUP BY fdoc)
+SELECT s.doc_rank,
+       sum(coalesce(c.n, 0)) OVER (ORDER BY s.doc_id)::BIGINT
+         AS cum_tokens,
+       sum(coalesce(nw.new_terms, 0)) OVER (ORDER BY s.doc_id)::BIGINT
+         AS vocab_size
+FROM sel s
+LEFT JOIN counts c ON s.doc_id = c.doc_id
+LEFT JOIN news nw ON nw.doc_id = s.doc_id
+ORDER BY s.doc_rank
 """,
         "doc_stats": "WITH " + _TOKS + """
 SELECT d.doc_id,
@@ -1208,7 +1243,9 @@ LIMIT 10
 """,
         # brute-force top-10 over embeddings ∪ the planted sidecar
         # (_planted_emb): planted_i = q + 0.15·e_i elementwise, the same
-        # double arithmetic as the Spark zip_with
+        # double arithmetic as the Spark zip_with. ann_ivf runs over the
+        # same union (4-of-16-cell probe), so it shares this oracle —
+        # the entry is duplicated below under that key.
         "ann_lsh": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 planted AS (
@@ -1374,3 +1411,7 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """,
     }
+    # ann_ivf runs over the same planted union as ann_lsh and recovers
+    # the identical exact top-10 — shared oracle.
+    out["ann_ivf"] = out["ann_lsh"]
+    return out

@@ -219,8 +219,12 @@ class IvfIndex:
         self.emb = emb
         self.id_col = id_col
         self.vec_col = vec_col
+        # TakeOrdered sample (first `sample` ids): the centroid fit
+        # depends on row order through rng.choice, so an arbitrary
+        # limit() would make the index depend on scan parallelism.
         rows = (
-            emb.select(vec_col)
+            emb.select(id_col, vec_col)
+            .orderBy(id_col)
             .limit(sample)
             .collect()
         )
@@ -276,12 +280,15 @@ class IvfIndex:
         return self._assigned
 
     def query(self, query_vec: Sequence[float], k: int = 10, nprobe: int = 4,
-              exclude_id: int | None = None) -> DataFrame:
+              exclude_id: int | None = None,
+              count_candidates: bool = False) -> DataFrame:
         if self._assigned is None:
             self.build()
         q = _as_unit(query_vec)
         cells = [int(c) for c in np.argsort(-(self.centroids @ q))[:nprobe]]
         cand = self._assigned.filter(F.col("cell").isin(cells))
+        if count_candidates:
+            self.last_candidate_count = cand.count()
         bc = self.emb.sparkSession.sparkContext.broadcast(q)
 
         def score(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
