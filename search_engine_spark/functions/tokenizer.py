@@ -32,6 +32,7 @@ de-facto broken — SURVEY.md §2.6 V5) and can also emit byte offsets.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import Iterator, List, Tuple
 
 import pandas as pd
@@ -65,6 +66,22 @@ STOPWORD_BYTES = frozenset(w.encode("utf-8") for w in RUSSIAN_STOPWORDS)
 # Delimiter byte class: isspace (\t\n\v\f\r, space) + ASCII punct ranges.
 _DELIM_CLASS = rb"\t\n\x0b\x0c\r !-/:-@\[-`{-~"
 TOKEN_RUN_RE = re.compile(rb"[^" + _DELIM_CLASS + rb"]+")
+
+
+@lru_cache(maxsize=8)
+def chunked_run_re(lo: int, hi: int) -> "re.Pattern[bytes]":
+    """Regex reproducing the reference's overflow chunking on a folded
+    buffer (fast path only): runs > ``hi`` bytes flush in ``hi+1``-byte
+    pieces (tokenizer.cpp:174 triggers at size > max), then a bounded
+    ``lo..hi`` tail; ordered alternation makes findall emit exactly that
+    chunk stream C-side, with no per-token Python. Tokens shorter than
+    ``lo`` never match and are skipped, mirroring the length filter;
+    stopword removal must still happen downstream."""
+    seg = hi + 1
+    return re.compile(
+        rb"[^%s]{%d}|[^%s]{%d,%d}"
+        % (_DELIM_CLASS, seg, _DELIM_CLASS, lo, hi)
+    )
 
 # ASCII-only lowercase translation table (C-locale tolower).
 _LOWER_TABLE = bytes(

@@ -45,7 +45,16 @@ from pyspark.sql import types as T
 from search_engine_spark.config import DEFAULT_CONFIG, EngineConfig
 from search_engine_spark.functions import codec
 from search_engine_spark.functions.stemmer import stem_text_token
-from search_engine_spark.functions.tokenizer import doc_term_stats, tokenize_text
+from search_engine_spark.functions.tokenizer import (
+    _LOWER_TABLE,
+    STOPWORD_BYTES,
+    TOKEN_RUN_RE,
+    _decode,
+    chunked_run_re,
+    doc_term_stats,
+    tokenize_bytes,
+    tokenize_text,
+)
 from search_engine_spark.sources.index_store import IndexStore
 
 # --------------------------------------------------------------------------
@@ -323,9 +332,158 @@ def postings_schema(cfg: EngineConfig) -> T.StructType:
     return T.StructType(fields)
 
 
+def _tokenize_map_vec(cfg: EngineConfig):
+    """Batch-vectorized B1: tokenize per doc (C-level findall), then ONE
+    factorize + stable-argsort pass aggregates (doc, term) → (tf,
+    positions) for the whole Arrow batch, replacing the per-token dict
+    loop (measured ~2× kernel throughput, output rows identical modulo
+    order — irrelevant under sortWithinPartitions downstream).
+
+    Per (doc, term) group: tf = segment length, positions = the token
+    ordinals in ascending order (stable sort preserves the generation
+    order within each group)."""
+    store_pos = cfg.store_positions
+    # fast path mirrors tokenize_bytes': whole-buffer fold + C-side
+    # findall with the plain run regex; length + stopword filtering
+    # moves to the factorized uniques (vocab-sized, not token-sized)
+    # with vectorized ordinal recomputation. Oversized runs (> hi
+    # bytes — detected on the uniques) re-tokenize the batch with the
+    # chunked-alternation regex, which is 2× slower per byte but only
+    # pays on batches that actually contain such runs. Any other
+    # config routes through tokenize_bytes.
+    fast = cfg.case_folding and not cfg.remove_numbers
+    lo, hi = cfg.min_token_bytes, cfg.max_token_bytes
+    chunk_re = chunked_run_re(lo, hi)
+
+    def _flatten(toks_per_doc, n):
+        lens = np.fromiter(
+            (len(t) for t in toks_per_doc), dtype=np.int64, count=n
+        )
+        total = int(lens.sum())
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for toks in toks_per_doc:
+            k = len(toks)
+            if k:
+                flat[pos:pos + k] = toks
+                pos += k
+        return flat, lens, total
+
+    def _not_stop(uniques):
+        return np.fromiter(
+            (u not in STOPWORD_BYTES for u in uniques),
+            dtype=bool, count=len(uniques),
+        )
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            keep_u = None
+            if fast:
+                bufs = [
+                    t.encode("utf-8").translate(_LOWER_TABLE)
+                    if isinstance(t, str) and t
+                    else b""
+                    for t in pdf["text"]
+                ]
+                toks_per_doc = [TOKEN_RUN_RE.findall(b) for b in bufs]
+                flat, lens, total = _flatten(toks_per_doc, n)
+                if total == 0:
+                    continue
+                codes, uniques = pd.factorize(flat)
+                ulens = np.fromiter(
+                    (len(u) for u in uniques),
+                    dtype=np.int64, count=len(uniques),
+                )
+                if (ulens > hi).any():
+                    # rare: some run overflows — redo with chunking;
+                    # every chunk the regex emits is length-valid
+                    toks_per_doc = [chunk_re.findall(b) for b in bufs]
+                    flat, lens, total = _flatten(toks_per_doc, n)
+                    codes, uniques = pd.factorize(flat)
+                    keep_u = _not_stop(uniques)
+                else:
+                    keep_u = (ulens >= lo) & _not_stop(uniques)
+            else:
+                toks_per_doc = [
+                    tokenize_bytes(t.encode("utf-8"), cfg)
+                    if isinstance(t, str) and t
+                    else []
+                    for t in pdf["text"]
+                ]
+                flat, lens, total = _flatten(toks_per_doc, n)
+                if total == 0:
+                    continue
+                codes, uniques = pd.factorize(flat)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            doc_lens = lens
+            if keep_u is not None:
+                if not keep_u.all():
+                    kept = keep_u[codes]
+                    cs0 = np.concatenate(
+                        ([0], np.cumsum(kept, dtype=np.int64))
+                    )
+                    # ordinal among KEPT tokens within each doc, and
+                    # per-doc kept counts (doc_len), both closed-form
+                    doc_lens = cs0[starts + lens] - cs0[starts]
+                    ordinals = (
+                        cs0[1:] - 1 - np.repeat(cs0[starts], lens)
+                    ).astype(np.int32)
+                    sel = np.flatnonzero(kept)
+                    if not len(sel):
+                        continue
+                    codes = codes[sel]
+                    doc_idx = doc_idx[sel]
+                    ordinals = ordinals[sel]
+                    total = len(sel)
+                else:
+                    ordinals = (
+                        np.arange(total, dtype=np.int64)
+                        - np.repeat(starts, lens)
+                    ).astype(np.int32)
+            else:
+                ordinals = (
+                    np.arange(total, dtype=np.int64)
+                    - np.repeat(starts, lens)
+                ).astype(np.int32)
+            key = doc_idx * len(uniques) + codes
+            order = np.argsort(key, kind="stable")
+            sk = key[order]
+            seg_starts = np.flatnonzero(
+                np.concatenate(([True], sk[1:] != sk[:-1]))
+            )
+            tf = np.diff(np.concatenate((seg_starts, [total]))).astype(
+                np.int32
+            )
+            first = order[seg_starts]
+            uniq_str = np.array([_decode(u) for u in uniques], dtype=object)
+            data = {
+                "term": pd.array(uniq_str[codes[first]], dtype=object),
+                "doc_id": pdf["doc_id"].to_numpy()[doc_idx[first]],
+                "tf": tf,
+                "doc_len": doc_lens[doc_idx[first]],
+            }
+            if store_pos:
+                # plain slice views — np.split pays a per-segment
+                # swapaxes that dominates the whole kernel
+                op = ordinals[order]
+                bounds = np.concatenate((seg_starts, [total]))
+                data["positions"] = pd.array(
+                    [op[bounds[i]:bounds[i + 1]]
+                     for i in range(len(seg_starts))],
+                    dtype=object,
+                )
+            yield pd.DataFrame(data)
+
+    return fn
+
+
 def _tokenize_map(cfg: EngineConfig):
     store_pos = cfg.store_positions
     use_stem = cfg.use_stemmer
+    if not use_stem:
+        return _tokenize_map_vec(cfg)
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

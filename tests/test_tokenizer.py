@@ -85,3 +85,111 @@ def test_stemmer_truncation_semantics():
     assert stem_text_token("abcdefg") == "abcde"    # len 7: drop 2
     # Cyrillic: bytes, not chars — "бегущий" = 14 bytes → drop 2 bytes = 1 char
     assert stem_text_token("бегущий") == "бегущи"
+
+
+# ---------------------------------------------------------------------------
+# batch-vectorized postings kernel ≡ per-doc doc_term_stats loop
+# ---------------------------------------------------------------------------
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.functions.tokenizer import doc_term_stats
+from search_engine_spark.operators.index_build import _tokenize_map_vec
+
+_VEC_CFG = EngineConfig(index_partitions=2)
+
+
+def _refmodel_batch(pdf, cfg):
+    terms, doc_ids, tfs, dls, poss = [], [], [], [], []
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        stats = list(doc_term_stats(text or "", cfg))
+        doc_len = sum(tf for _, tf, _ in stats)
+        for term, tf, positions in stats:
+            terms.append(term)
+            doc_ids.append(doc_id)
+            tfs.append(tf)
+            dls.append(doc_len)
+            poss.append(positions)
+    return pd.DataFrame(
+        {
+            "term": pd.array(terms, dtype=object),
+            "doc_id": np.array(doc_ids, dtype=np.int64),
+            "tf": np.array(tfs, dtype=np.int32),
+            "doc_len": np.array(dls, dtype=np.int64),
+            "positions": pd.array(poss, dtype=object),
+        }
+    )
+
+
+def _canon_postings(df):
+    df = df.copy()
+    df["positions"] = df["positions"].map(
+        lambda p: tuple(int(x) for x in p)
+    )
+    df["doc_len"] = df["doc_len"].astype(np.int64)
+    return df.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
+def _assert_vec_identical(texts, cfg=_VEC_CFG):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": pd.array(texts, dtype=object),
+        }
+    )
+    ref = _refmodel_batch(pdf, cfg)
+    out = list(_tokenize_map_vec(cfg)([pdf]))
+    vec = (
+        pd.concat(out, ignore_index=True)
+        if out
+        else ref.iloc[0:0]
+    )
+    pd.testing.assert_frame_equal(_canon_postings(ref), _canon_postings(vec))
+
+
+def test_vec_kernel_adversarial_batches():
+    # exercises both fast branches: with and without oversized runs
+    _assert_vec_identical(
+        [
+            "",
+            None,
+            "и в на по это same same same words",
+            "x" * 300 + " ok " + "y" * 55,
+            "z" * 51 + " " + "w" * 50 + " " + "v" * 102 + " " + "u" * 103,
+            "многи́е русские слова и ещё слова",
+            "a bb ccc dddd " * 40,
+            "tab\tsep\nnewline  double  space!punct,comma",
+            "ONE one OnE",
+            "и в на",  # stopword-only doc
+        ]
+    )
+    _assert_vec_identical(  # no oversized run → simple-regex branch
+        ["normal words here a x y", "и в на", "same same diff"]
+    )
+    _assert_vec_identical(["", None])  # empty batch short-circuit
+
+
+def test_vec_kernel_general_config_path():
+    # remove_numbers routes through tokenize_bytes (general path)
+    cfg = EngineConfig(index_partitions=2, remove_numbers=True)
+    _assert_vec_identical(
+        ["abc123 def 45 6789x", "x1 22 три4ри"], cfg=cfg
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab xy.!\tи в\nсло" + "L" * 3,
+            max_size=120,
+        ),
+        max_size=8,
+    )
+)
+def test_vec_kernel_property_identity(texts):
+    _assert_vec_identical(texts)
