@@ -38,6 +38,7 @@ from typing import Iterable, Iterator, Optional
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -465,15 +466,16 @@ def _tokenize_map_vec(cfg: EngineConfig):
                 "doc_len": doc_lens[doc_idx[first]],
             }
             if store_pos:
-                # plain slice views — np.split pays a per-segment
-                # swapaxes that dominates the whole kernel
-                op = ordinals[order]
-                bounds = np.concatenate((seg_starts, [total]))
-                data["positions"] = pd.array(
-                    [op[bounds[i]:bounds[i + 1]]
-                     for i in range(len(seg_starts))],
-                    dtype=object,
+                # zero-copy Arrow list column: the group boundaries ARE
+                # the list offsets, so no per-group Python objects at
+                # all (Spark's serializer passes the ExtensionArray's
+                # arrow data straight through)
+                offsets = np.append(seg_starts, total).astype(np.int32)
+                lists = pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()),
+                    pa.array(ordinals[order], type=pa.int32()),
                 )
+                data["positions"] = pd.arrays.ArrowExtensionArray(lists)
             yield pd.DataFrame(data)
 
     return fn
