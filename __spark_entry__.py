@@ -605,6 +605,20 @@ def _q_curate(spark, sf_dir):
     return out.select("doc_id")
 
 
+def _q_curate_embed(spark, sf_dir):
+    """Full curation incl. the semantic near-dup stage: embeddings are
+    doc_id-keyed (vec_id == doc_id at every sf), cosine ≥ 0.45 drops
+    the higher id among survivors of the text stages."""
+    from search_engine_spark.operators.pipeline import curate
+
+    out, _ = curate(
+        _docs(spark, sf_dir), near_dup_threshold=0.8, use_lsh=True,
+        with_report=False,
+        embeddings=_emb(spark, sf_dir), embed_cos_threshold=0.45,
+    )
+    return out.select("doc_id")
+
+
 def _q_decontam(spark, sf_dir):
     """Benchmark decontamination: every 50th doc's text plays the eval
     set; docs sharing any word 8-gram with it are dropped (includes the
@@ -873,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "mm_meta": _q_mm_meta,
         "curate": _q_curate,
+        "curate_embed": _q_curate_embed,
         "decontam": _q_decontam,
         "parse_sources": _q_parse_sources,
         "url_norm": _q_url_norm,
@@ -1303,6 +1318,38 @@ exact_kept AS (
 )
 SELECT doc_id FROM exact_kept
 WHERE doc_id NOT IN (SELECT id_b FROM neardup)
+""",
+        # curate + the semantic stage: cosine ≥ 0.45 pairs among the
+        # text-stage survivors drop the higher doc_id (vec_id == doc_id)
+        "curate_embed": _SHINGLES + """,
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+neardup AS (
+  SELECT DISTINCT id_b FROM inter
+  JOIN shn na ON na.doc_id = id_a
+  JOIN shn nb ON nb.doc_id = id_b
+  WHERE i * 1.0 / (na.n_sh + nb.n_sh - i) >= 0.8
+),
+exact_kept AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+text_surv AS (
+  SELECT doc_id FROM exact_kept
+  WHERE doc_id NOT IN (SELECT id_b FROM neardup)
+),
+embdrop AS (
+  SELECT DISTINCT b.vec_id AS doc_id
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id IN (SELECT doc_id FROM text_surv)
+    AND b.vec_id IN (SELECT doc_id FROM text_surv)
+    AND list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.45
+)
+SELECT doc_id FROM text_surv
+WHERE doc_id NOT IN (SELECT doc_id FROM embdrop)
 """,
         "decontam": "WITH " + _OTOKS + """,
 tl AS (SELECT doc_id, list(term ORDER BY rn) AS ts FROM otoks GROUP BY doc_id),

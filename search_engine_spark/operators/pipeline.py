@@ -10,7 +10,10 @@ pipeline runs between crawl and tokenizer:
       │ 4. near-dup removal       (n-gram Jaccard ≥ threshold via
       │                            MinHash-LSH candidates + exact verify;
       │                            drop the higher id of every pair)
-      │ 5. decontamination        (optional: drop docs sharing any
+      │ 5. embedding near-dup     (optional: exact cosine ≥ threshold
+      │                            over a doc_id-keyed embedding table,
+      │                            distributed block-pair loop)
+      │ 6. decontamination        (optional: drop docs sharing any
       │                            13-gram with a benchmark set)
       ▼
     curated docs (+ per-stage counts report)
@@ -90,6 +93,11 @@ def curate(
     benchmark: Optional[DataFrame] = None,
     decontam_ngram: int = 13,
     bench_text_col: str = "text",
+    embeddings: Optional[DataFrame] = None,
+    embed_cos_threshold: float = 0.95,
+    embed_id_col: str = "vec_id",
+    embed_vec_col: str = "embedding",
+    embed_n_blocks: int = 8,
 ):
     """Returns (curated_df, report_dict) — report has per-stage counts
     when ``with_report`` (it triggers counting jobs; pass False to keep
@@ -130,6 +138,28 @@ def curate(
         out = out.join(drop, id_col, "left_anti")
         if with_report:
             report["after_near_dedup"] = out.count()
+
+    if embeddings is not None:
+        # semantic near-dup: exact cosine over the (doc_id-keyed)
+        # embedding table via the distributed block-pair nested loop;
+        # drop the higher doc_id of every pair ≥ threshold — the same
+        # order-independent keep-lowest rule as the text near-dup
+        # stage. Embeddings for already-dropped docs are excluded
+        # first so the O(n²/B) work runs on survivors only.
+        from search_engine_spark.operators.dedup import embedding_pairs_exact
+
+        surv = embeddings.join(
+            out.select(F.col(id_col).alias(embed_id_col)), embed_id_col
+        )
+        epairs = embedding_pairs_exact(
+            surv, threshold=embed_cos_threshold,
+            id_col=embed_id_col, vec_col=embed_vec_col,
+            n_blocks=embed_n_blocks,
+        )
+        edrop = epairs.select(F.col("id_b").alias(id_col)).distinct()
+        out = out.join(edrop, id_col, "left_anti")
+        if with_report:
+            report["after_embed_dedup"] = out.count()
 
     if benchmark is not None:
         out, _contaminated = decontaminate(

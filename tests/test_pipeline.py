@@ -89,3 +89,33 @@ def test_decontaminate_planted_overlap(spark):
     clean, contaminated = decontaminate(docs, bench, n=8)
     assert sorted(r["doc_id"] for r in contaminated.collect()) == [0, 2]
     assert sorted(r["doc_id"] for r in clean.collect()) == [1, 3]
+
+
+def test_curate_with_embedding_neardup_stage(spark, docs):
+    """Semantic near-dup: docs 0 and 3 survive the text stages; give
+    them near-identical embeddings → the higher id (3) is dropped.
+    Embeddings of already-dropped docs (1, 2) must NOT drop survivors:
+    doc 1 gets a vector colinear with doc 0's, but 1 was removed by the
+    text near-dup stage, so the (0, 1) pair never forms."""
+    from search_engine_spark.operators.pipeline import curate
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),     # colinear with 0 but 1 is pre-dropped
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.99, 0.14, 0.0]),   # cos ≈ 0.990 vs doc 0 → dropped
+            (4, [0.0, 0.0, 1.0]),
+            (5, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out, report = curate(
+        docs, langs=["en"], min_quality=0.7, near_dup_threshold=0.8,
+        use_lsh=False, embeddings=emb, embed_cos_threshold=0.95,
+        embed_n_blocks=2,
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [0]
+    assert report["after_near_dedup"] == 2
+    assert report["after_embed_dedup"] == 1
