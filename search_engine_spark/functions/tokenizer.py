@@ -201,6 +201,89 @@ def tokenize_text(text: str, cfg: EngineConfig = DEFAULT_CONFIG) -> List[str]:
     return [_decode(t) for t in tokenize_bytes(text.encode("utf-8"), cfg)]
 
 
+def batch_token_codes(texts, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Factorized byte-exact tokenization of a whole Arrow batch.
+
+    Returns ``(codes, uniques, lens, keep_u)``:
+
+    * ``codes`` — int64 token-code per token, in document order
+    * ``uniques`` — the distinct token byte-strings (decode these once
+      with :func:`_decode`; vocab-sized, not token-sized)
+    * ``lens`` — int64 tokens-per-document (pre-filter)
+    * ``keep_u`` — bool mask over ``uniques`` of tokens surviving the
+      length/stopword filter, or ``None`` when the stream is already
+      filtered (the general config path)
+
+    Fast path (default config): per-doc C-level ``findall`` on the
+    folded buffer with NO per-token Python; filtering is deferred to
+    the uniques. Batches containing an oversized (> max bytes) run
+    re-tokenize with :func:`chunked_run_re`, which reproduces the
+    reference's ``hi+1``-byte flush chunking exactly."""
+    import numpy as np
+
+    n = len(texts)
+    fast = cfg.case_folding and not cfg.remove_numbers
+    lo, hi = cfg.min_token_bytes, cfg.max_token_bytes
+
+    def flatten(toks_per_doc):
+        lens = np.fromiter(
+            (len(t) for t in toks_per_doc), dtype=np.int64, count=n
+        )
+        total = int(lens.sum())
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for toks in toks_per_doc:
+            k = len(toks)
+            if k:
+                flat[pos:pos + k] = toks
+                pos += k
+        return flat, lens, total
+
+    def not_stop(uniques):
+        return np.fromiter(
+            (u not in STOPWORD_BYTES for u in uniques),
+            dtype=bool, count=len(uniques),
+        )
+
+    if fast:
+        bufs = [
+            t.encode("utf-8").translate(_LOWER_TABLE)
+            if isinstance(t, str) and t
+            else b""
+            for t in texts
+        ]
+        flat, lens, total = flatten([TOKEN_RUN_RE.findall(b) for b in bufs])
+        if total == 0:
+            return None
+        codes, uniques = pd.factorize(flat)
+        ulens = np.fromiter(
+            (len(u) for u in uniques), dtype=np.int64, count=len(uniques)
+        )
+        if (ulens > hi).any():
+            chunk_re = chunked_run_re(lo, hi)
+            flat, lens, total = flatten(
+                [chunk_re.findall(b) for b in bufs]
+            )
+            codes, uniques = pd.factorize(flat)
+            keep_u = not_stop(uniques)
+        else:
+            keep_u = (ulens >= lo) & not_stop(uniques)
+        return codes, uniques, lens, keep_u
+
+    flat, lens, total = flatten(
+        [
+            tokenize_bytes(t.encode("utf-8"), cfg)
+            if isinstance(t, str) and t
+            else []
+            for t in texts
+        ]
+    )
+    if total == 0:
+        return None
+    codes, uniques = pd.factorize(flat)
+    return codes, uniques, lens, None
+
+
 def doc_term_stats(
     text: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> Iterator[Tuple[str, int, List[int]]]:

@@ -20,13 +20,13 @@ from __future__ import annotations
 
 from typing import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from search_engine_spark.config import DEFAULT_CONFIG, EngineConfig
-from search_engine_spark.functions.tokenizer import tokenize_series
 
 _TOKENS_SCHEMA = T.StructType(
     [
@@ -38,14 +38,58 @@ _TOKENS_SCHEMA = T.StructType(
 
 def tokens_df(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     """(doc_id, tokens array) via the byte-exact tokenizer (T1), one
-    vectorized Arrow pass; everything downstream stays JVM-side."""
+    vectorized Arrow pass; everything downstream stays JVM-side.
+
+    Tokens are factorized per batch (tokenizer.batch_token_codes), so
+    each DISTINCT token decodes once and the per-doc lists leave as one
+    zero-copy Arrow list<string> column — no per-token Python. Every
+    input doc keeps its row (empty array when it has no tokens): the
+    vocabulary-growth contract depends on that."""
+    import pyarrow as pa
+
+    from search_engine_spark.functions.tokenizer import (
+        _decode,
+        batch_token_codes,
+    )
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            out = batch_token_codes(pdf["text"], cfg)
+            if out is None:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "tokens": pd.array(
+                            [[] for _ in range(n)], dtype=object
+                        ),
+                    }
+                )
+                continue
+            codes, uniques, lens, keep_u = out
+            uniq_str = np.array(
+                [_decode(u) for u in uniques], dtype=object
+            )
+            ends = np.cumsum(lens)
+            if keep_u is not None and not keep_u.all():
+                kept = keep_u[codes]
+                sel = np.flatnonzero(kept)
+                codes = codes[sel]
+                # doc boundaries over the KEPT stream
+                cs0 = np.concatenate(([0], np.cumsum(kept, dtype=np.int64)))
+                offsets = np.concatenate(([0], cs0[ends])).astype(np.int32)
+            else:
+                offsets = np.concatenate(([0], ends)).astype(np.int32)
+            lists = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(uniq_str[codes], type=pa.string()),
+            )
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "tokens": tokenize_series(pdf["text"], cfg),
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "tokens": pd.arrays.ArrowExtensionArray(lists),
                 }
             )
 

@@ -47,13 +47,9 @@ from search_engine_spark.config import DEFAULT_CONFIG, EngineConfig
 from search_engine_spark.functions import codec
 from search_engine_spark.functions.stemmer import stem_text_token
 from search_engine_spark.functions.tokenizer import (
-    _LOWER_TABLE,
-    STOPWORD_BYTES,
-    TOKEN_RUN_RE,
     _decode,
-    chunked_run_re,
+    batch_token_codes,
     doc_term_stats,
-    tokenize_bytes,
     tokenize_text,
 )
 from search_engine_spark.sources.index_store import IndexStore
@@ -344,78 +340,15 @@ def _tokenize_map_vec(cfg: EngineConfig):
     ordinals in ascending order (stable sort preserves the generation
     order within each group)."""
     store_pos = cfg.store_positions
-    # fast path mirrors tokenize_bytes': whole-buffer fold + C-side
-    # findall with the plain run regex; length + stopword filtering
-    # moves to the factorized uniques (vocab-sized, not token-sized)
-    # with vectorized ordinal recomputation. Oversized runs (> hi
-    # bytes — detected on the uniques) re-tokenize the batch with the
-    # chunked-alternation regex, which is 2× slower per byte but only
-    # pays on batches that actually contain such runs. Any other
-    # config routes through tokenize_bytes.
-    fast = cfg.case_folding and not cfg.remove_numbers
-    lo, hi = cfg.min_token_bytes, cfg.max_token_bytes
-    chunk_re = chunked_run_re(lo, hi)
-
-    def _flatten(toks_per_doc, n):
-        lens = np.fromiter(
-            (len(t) for t in toks_per_doc), dtype=np.int64, count=n
-        )
-        total = int(lens.sum())
-        flat = np.empty(total, dtype=object)
-        pos = 0
-        for toks in toks_per_doc:
-            k = len(toks)
-            if k:
-                flat[pos:pos + k] = toks
-                pos += k
-        return flat, lens, total
-
-    def _not_stop(uniques):
-        return np.fromiter(
-            (u not in STOPWORD_BYTES for u in uniques),
-            dtype=bool, count=len(uniques),
-        )
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
-            keep_u = None
-            if fast:
-                bufs = [
-                    t.encode("utf-8").translate(_LOWER_TABLE)
-                    if isinstance(t, str) and t
-                    else b""
-                    for t in pdf["text"]
-                ]
-                toks_per_doc = [TOKEN_RUN_RE.findall(b) for b in bufs]
-                flat, lens, total = _flatten(toks_per_doc, n)
-                if total == 0:
-                    continue
-                codes, uniques = pd.factorize(flat)
-                ulens = np.fromiter(
-                    (len(u) for u in uniques),
-                    dtype=np.int64, count=len(uniques),
-                )
-                if (ulens > hi).any():
-                    # rare: some run overflows — redo with chunking;
-                    # every chunk the regex emits is length-valid
-                    toks_per_doc = [chunk_re.findall(b) for b in bufs]
-                    flat, lens, total = _flatten(toks_per_doc, n)
-                    codes, uniques = pd.factorize(flat)
-                    keep_u = _not_stop(uniques)
-                else:
-                    keep_u = (ulens >= lo) & _not_stop(uniques)
-            else:
-                toks_per_doc = [
-                    tokenize_bytes(t.encode("utf-8"), cfg)
-                    if isinstance(t, str) and t
-                    else []
-                    for t in pdf["text"]
-                ]
-                flat, lens, total = _flatten(toks_per_doc, n)
-                if total == 0:
-                    continue
-                codes, uniques = pd.factorize(flat)
+            out = batch_token_codes(pdf["text"], cfg)
+            if out is None:
+                continue
+            codes, uniques, lens, keep_u = out
+            total = len(codes)
             doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
             doc_lens = lens
