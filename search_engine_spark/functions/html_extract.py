@@ -70,11 +70,18 @@ class Node:
 
     # -- traversal -------------------------------------------------
     def iter_elements(self) -> Iterator["Node"]:
-        """Document-order element iterator (self excluded)."""
-        for c in self.children:
+        """Document-order element iterator (self excluded).
+
+        Iterative pre-order with an explicit stack — recursive
+        ``yield from`` pays O(depth) per element through the generator
+        chain, which dominated the extraction profile."""
+        stack = self.children[::-1]
+        while stack:
+            c = stack.pop()
             if isinstance(c, Node):
                 yield c
-                yield from c.iter_elements()
+                if c.children:
+                    stack.extend(c.children[::-1])
 
     def classes(self) -> List[str]:
         return (self.attrs.get("class") or "").split()
@@ -171,6 +178,46 @@ class Node:
                     out.append(el)
         return out
 
+    def select_many(self, selectors) -> dict:
+        """``{selector: select(selector)}`` for several selectors in
+        ONE document-order walk (extract_text runs 7 selectors per
+        page; per-selector walks dominated the extraction profile).
+        Result lists are identical to per-selector ``select``."""
+        by_tag: dict = {}
+        by_cls: dict = {}
+        by_id: dict = {}
+        out: dict = {s: [] for s in selectors}
+        for s in selectors:
+            if s.startswith("."):
+                by_cls.setdefault(s[1:], []).append(out[s])
+            elif s.startswith("#"):
+                by_id.setdefault(s[1:], []).append(out[s])
+            else:
+                by_tag.setdefault(s, []).append(out[s])
+        for el in self.iter_elements():
+            buckets = by_tag.get(el.tag)
+            if buckets:
+                for b in buckets:
+                    b.append(el)
+            if by_cls:
+                cl = el.classes()
+                if cl:
+                    # membership test per selector (not per class
+                    # token) so duplicated class tokens can't
+                    # double-append vs select()'s semantics
+                    for cname, buckets in by_cls.items():
+                        if cname in cl:
+                            for b in buckets:
+                                b.append(el)
+            if by_id:
+                ident = el.attrs.get("id")
+                if ident is not None:
+                    buckets = by_id.get(ident)
+                    if buckets:
+                        for b in buckets:
+                            b.append(el)
+        return out
+
 
 class _TreeBuilder(HTMLParser):
     def __init__(self) -> None:
@@ -265,8 +312,9 @@ def extract_title(root: Node) -> str:
 def extract_text(root: Node) -> str:
     root.decompose_tags(REMOVE_TAGS)
     parts: List[str] = []
+    selected = root.select_many(CONTENT_SELECTORS)
     for selector in CONTENT_SELECTORS:
-        for el in root.select(selector):
+        for el in selected[selector]:
             text = el.get_text(separator=" ", strip=True)
             if len(text) > MIN_CONTENT_CHARS:
                 parts.append(text)
