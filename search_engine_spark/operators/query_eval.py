@@ -323,17 +323,11 @@ class SearchEngine:
         meta = self.blocks.filter(F.col("term").isin(terms)).select(
             "term", "block_id", "doc_count", "max_score"
         )
-        U = {
-            r["term"]: r["mx"]
-            for r in meta.groupBy("term")
-            .agg(F.max("max_score").alias("mx"))
-            .collect()
-        }
-        u_total = sum(U.values())
         dec = self._decode_score_map_multi(idfs)
         blk_cols = ["term", "doc_gaps", "tfs", "dls"]
 
-        # phase 1: per-term top-k blocks (partitioned window — bounded)
+        # ONE metadata job: per-term top-k blocks (partitioned window —
+        # bounded) whose rn==1 rows also carry each term's upper bound
         w = Window.partitionBy("term").orderBy(
             F.desc("max_score"), F.asc("block_id")
         )
@@ -342,9 +336,13 @@ class SearchEngine:
             .filter(F.col("rn") <= k)
             .collect()
         )
+        U: Dict[str, float] = {}
         p1_by_term: Dict[str, List[int]] = {}
         for r in p1_rows:
+            if r["rn"] == 1:
+                U[r["term"]] = r["max_score"]
             p1_by_term.setdefault(r["term"], []).append(r["block_id"])
+        u_total = sum(U.values())
         p1_pred = reduce(
             lambda a, c: a | c,
             [
@@ -564,27 +562,28 @@ class SearchEngine:
         meta = self.blocks.filter(F.col("term").isin(u_terms)).select(
             "term", "block_id", "max_score"
         )
-        U = {
-            r["term"]: r["mx"]
-            for r in meta.groupBy("term").agg(F.max("max_score").alias("mx")).collect()
-        }
-        u_total = sum(pos.get(t, 0) * U.get(t, 0.0) for t in set(pos)) + sum(
-            phr.get(t, 0) * U.get(t, 0.0) for t in set(phr)
-        )
-
-        # phase 1: per-prunable-term top-k blocks by max_score
+        # ONE metadata job: the per-term desc-ordered window gives both
+        # the per-term upper bound (the rn==1 row's max_score) and the
+        # phase-1 top-k block ids — previously two separate collects
+        # over the same k-row-per-term scan
         w = Window.partitionBy("term").orderBy(
             F.desc("max_score"), F.asc("block_id")
         )
-        p1_rows = (
-            meta.filter(F.col("term").isin(list(prunable)))
-            .withColumn("rn", F.row_number().over(w))
+        topk_rows = (
+            meta.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .collect()
         )
+        U: Dict[str, float] = {}
         p1_by_term: Dict[str, List[int]] = {}
-        for r in p1_rows:
-            p1_by_term.setdefault(r["term"], []).append(r["block_id"])
+        for r in topk_rows:
+            if r["rn"] == 1:
+                U[r["term"]] = r["max_score"]
+            if r["term"] in prunable:
+                p1_by_term.setdefault(r["term"], []).append(r["block_id"])
+        u_total = sum(pos.get(t, 0) * U.get(t, 0.0) for t in set(pos)) + sum(
+            phr.get(t, 0) * U.get(t, 0.0) for t in set(phr)
+        )
 
         def leaf(t: str, blk_pred) -> DataFrame:
             dec = _decode_score_map(
