@@ -78,6 +78,7 @@ def chunked_run_re(lo: int, hi: int) -> "re.Pattern[bytes]":
     ``lo`` never match and are skipped, mirroring the length filter;
     stopword removal must still happen downstream."""
     seg = hi + 1
+    lo = max(lo, 1)  # {0,hi} would match empty at every position
     return re.compile(
         rb"[^%s]{%d}|[^%s]{%d,%d}"
         % (_DELIM_CLASS, seg, _DELIM_CLASS, lo, hi)
