@@ -187,7 +187,7 @@ class Node:
         by_cls: dict = {}
         by_id: dict = {}
         out: dict = {s: [] for s in selectors}
-        for s in selectors:
+        for s in out:  # deduped — a repeated selector must not double-bucket
             if s.startswith("."):
                 by_cls.setdefault(s[1:], []).append(out[s])
             elif s.startswith("#"):
