@@ -50,7 +50,6 @@ from search_engine_spark.functions.tokenizer import (
     _decode,
     batch_token_codes,
     doc_term_stats,
-    tokenize_text,
 )
 from search_engine_spark.sources.index_store import IndexStore
 
