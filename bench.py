@@ -29,40 +29,14 @@ import time
 
 
 def _box_state() -> dict:
-    """Light stream-bandwidth sample (4 × 400 MB copies at 1 core and
-    at 4 pinned cores), same semantics as scripts/membw_probe.py."""
-    import subprocess
-
-    worker = (
-        "import time\nimport numpy as np\n"
-        "a = np.zeros(400_000_000, dtype=np.uint8)\na[:] = 1\n"
-        "t0 = time.time()\ns = 0\n"
-        "for _ in range(4):\n    b = a.copy()\n    s += int(b[0])\n"
-        "print(time.time() - t0)\n"
-    )
-
-    def run(cores):
-        env = dict(os.environ)
-        for k in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
-                  "MKL_NUM_THREADS"):
-            env[k] = "1"
-        ps = [
-            subprocess.Popen(
-                ["taskset", "-c", str(c), sys.executable, "-c", worker],
-                stdout=subprocess.PIPE, text=True, env=env,
-            )
-            for c in cores
-        ]
-        return [float(p.communicate()[0].strip()) for p in ps]
-
+    """Light stream-bandwidth sample via the shared probe
+    (scripts/membw_probe.quick_stream_state)."""
     try:
-        gb = 4 * 2 * 400_000_000 / 1e9
-        one = run([0])[0]
-        four = run([0, 1, 2, 3])
-        return {
-            "stream_bw_1core_gb_s": round(gb / one, 2),
-            "stream_bw_4core_total_gb_s": round(sum(gb / t for t in four), 2),
-        }
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts"))
+        import membw_probe
+
+        return membw_probe.quick_stream_state()
     except Exception:  # pragma: no cover - probe must never fail bench
         return {}
 

@@ -44,6 +44,7 @@ import hashlib, sys, time
 import numpy as np
 
 mode = sys.argv[1]
+reps = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 t0 = time.time()
 if mode == "compute":
     rng = np.random.default_rng(0)
@@ -58,20 +59,23 @@ else:  # stream
     a[:] = 1  # first-touch outside nothing — include fault cost in warmup
     t0 = time.time()
     s = 0
-    for _ in range(25):
+    for _ in range(reps or 25):
         b = a.copy()
         s += int(b[0])
 print(time.time() - t0)
 """
 
 
-def run_pinned(mode: str, cores: list[int]) -> list[float]:
+def run_pinned(mode: str, cores: list[int],
+               reps: int | None = None) -> list[float]:
     env = dict(os.environ)
     for k in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         env[k] = "1"
+    argv_tail = [mode] + ([str(reps)] if reps else [])
     procs = [
         subprocess.Popen(
-            ["taskset", "-c", str(c), sys.executable, "-c", WORKER, mode],
+            ["taskset", "-c", str(c), sys.executable, "-c", WORKER,
+             *argv_tail],
             stdout=subprocess.PIPE, text=True, env=env,
         )
         for c in cores
@@ -79,13 +83,27 @@ def run_pinned(mode: str, cores: list[int]) -> list[float]:
     return [float(p.communicate()[0].strip()) for p in procs]
 
 
-def best_of(mode: str, cores: list[int], trials: int) -> list[float]:
+def best_of(mode: str, cores: list[int], trials: int,
+            reps: int | None = None) -> list[float]:
     """Best-of-K per slot (the box injects one-sided stalls)."""
     best = None
     for _ in range(trials):
-        r = run_pinned(mode, cores)
+        r = run_pinned(mode, cores, reps)
         best = r if best is None else [min(a, b) for a, b in zip(best, r)]
     return best
+
+
+def quick_stream_state(reps: int = 4) -> dict:
+    """Light bandwidth sample (1-core and 4-core stream with ``reps``
+    copies) — the shared box_state probe for bench.py and the scaling
+    harnesses."""
+    gb = reps * 2 * 400_000_000 / 1e9
+    one = run_pinned("stream", [0], reps)[0]
+    four = run_pinned("stream", [0, 1, 2, 3], reps)
+    return {
+        "stream_bw_1core_gb_s": round(gb / one, 2),
+        "stream_bw_4core_total_gb_s": round(sum(gb / t for t in four), 2),
+    }
 
 
 def main() -> int:

@@ -69,6 +69,14 @@ TOKEN_RUN_RE = re.compile(rb"[^" + _DELIM_CLASS + rb"]+")
 
 
 @lru_cache(maxsize=8)
+def oversized_run_re(hi: int) -> "re.Pattern[bytes]":
+    """Matches iff the buffer contains a non-delimiter run longer than
+    ``hi`` bytes (the overflow-chunking trigger) — a cheap C-level
+    ``search`` deciding which tokenizing regex a document needs."""
+    return re.compile(rb"[^%s]{%d}" % (_DELIM_CLASS, hi + 1))
+
+
+@lru_cache(maxsize=8)
 def chunked_run_re(lo: int, hi: int) -> "re.Pattern[bytes]":
     """Regex reproducing the reference's overflow chunking on a folded
     buffer (fast path only): runs > ``hi`` bytes flush in ``hi+1``-byte
@@ -118,7 +126,10 @@ def tokenize_bytes(data: bytes, cfg: EngineConfig = DEFAULT_CONFIG) -> List[byte
     match-object overhead (~1.7× kernel throughput, parity pinned by
     the property tests)."""
     out: List[bytes] = []
-    lo, hi = cfg.min_token_bytes, cfg.max_token_bytes
+    # lo clamps to 1: an empty token is never emitted (keeps the scalar
+    # path aligned with batch_token_codes' chunked regex at lo=0, where
+    # a run of exactly seg bytes would otherwise yield an empty tail)
+    lo, hi = max(cfg.min_token_bytes, 1), cfg.max_token_bytes
     seg = hi + 1  # overflow flush size (tokenizer.cpp:174 triggers at size > max)
     if cfg.case_folding and not cfg.remove_numbers:
         sw = STOPWORD_BYTES
@@ -166,7 +177,7 @@ def tokenize_bytes_with_offsets(
     """Tokenize returning (token, byte_offset_of_raw_token_start) pairs
     (tokenize_with_positions, tokenizer.cpp:198-280)."""
     out: List[Tuple[bytes, int]] = []
-    lo, hi = cfg.min_token_bytes, cfg.max_token_bytes
+    lo, hi = max(cfg.min_token_bytes, 1), cfg.max_token_bytes  # no empty tokens
     seg = hi + 1
     for m in TOKEN_RUN_RE.finditer(data):
         raw = m.group()
@@ -217,14 +228,17 @@ def batch_token_codes(texts, cfg: EngineConfig = DEFAULT_CONFIG):
 
     Fast path (default config): per-doc C-level ``findall`` on the
     folded buffer with NO per-token Python; filtering is deferred to
-    the uniques. Batches containing an oversized (> max bytes) run
-    re-tokenize with :func:`chunked_run_re`, which reproduces the
-    reference's ``hi+1``-byte flush chunking exactly."""
+    the uniques. Docs containing an oversized (> max bytes) run —
+    detected by a cheap pre-search — tokenize with
+    :func:`chunked_run_re`, which reproduces the reference's
+    ``hi+1``-byte flush chunking exactly; all other docs use the plain
+    (2× faster) run regex."""
     import numpy as np
 
     n = len(texts)
     fast = cfg.case_folding and not cfg.remove_numbers
-    lo, hi = cfg.min_token_bytes, cfg.max_token_bytes
+    lo, hi = max(cfg.min_token_bytes, 1), cfg.max_token_bytes
+    seg = hi + 1
 
     def flatten(toks_per_doc):
         lens = np.fromiter(
@@ -247,28 +261,31 @@ def batch_token_codes(texts, cfg: EngineConfig = DEFAULT_CONFIG):
         )
 
     if fast:
-        bufs = [
-            t.encode("utf-8").translate(_LOWER_TABLE)
-            if isinstance(t, str) and t
-            else b""
-            for t in texts
-        ]
-        flat, lens, total = flatten([TOKEN_RUN_RE.findall(b) for b in bufs])
+        oversize_re = oversized_run_re(hi)
+        chunk_re = chunked_run_re(lo, hi)
+
+        def tok(t):
+            if not (isinstance(t, str) and t):
+                return []
+            b = t.encode("utf-8").translate(_LOWER_TABLE)
+            # per-doc regex choice: the chunked alternation is ~2×
+            # slower per byte, so only docs that actually contain an
+            # oversized run (one C-level search) pay for it
+            r = chunk_re if oversize_re.search(b) else TOKEN_RUN_RE
+            return r.findall(b)
+
+        flat, lens, total = flatten([tok(t) for t in texts])
         if total == 0:
             return None
         codes, uniques = pd.factorize(flat)
         ulens = np.fromiter(
             (len(u) for u in uniques), dtype=np.int64, count=len(uniques)
         )
-        if (ulens > hi).any():
-            chunk_re = chunked_run_re(lo, hi)
-            flat, lens, total = flatten(
-                [chunk_re.findall(b) for b in bufs]
-            )
-            codes, uniques = pd.factorize(flat)
-            keep_u = not_stop(uniques)
-        else:
-            keep_u = (ulens >= lo) & not_stop(uniques)
+        # tokens of exactly seg bytes are mid-chunks of an overflowed
+        # run — kept by the reference's flush rule regardless of hi
+        keep_u = (
+            ((ulens >= lo) & (ulens <= hi)) | (ulens == seg)
+        ) & not_stop(uniques)
         return codes, uniques, lens, keep_u
 
     flat, lens, total = flatten(
@@ -283,6 +300,32 @@ def batch_token_codes(texts, cfg: EngineConfig = DEFAULT_CONFIG):
         return None
     codes, uniques = pd.factorize(flat)
     return codes, uniques, lens, None
+
+
+def batch_tokens_lists(texts, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Filtered per-doc token lists in flat Arrow-ready form:
+    ``(offsets, values)`` with ``offsets`` an int32 array of length
+    n+1 (doc i's tokens are ``values[offsets[i]:offsets[i+1]]``) and
+    ``values`` an object array of str. One decode per DISTINCT token.
+    The single home of the kept-stream boundary math shared by
+    analytics.tokens_df and tokenize_series."""
+    import numpy as np
+
+    n = len(texts)
+    out = batch_token_codes(texts, cfg)
+    if out is None:
+        return np.zeros(n + 1, dtype=np.int32), np.empty(0, dtype=object)
+    codes, uniques, lens, keep_u = out
+    uniq_str = np.array([_decode(u) for u in uniques], dtype=object)
+    ends = np.cumsum(lens)
+    if keep_u is not None and not keep_u.all():
+        kept = keep_u[codes]
+        codes = codes[np.flatnonzero(kept)]
+        cs0 = np.concatenate(([0], np.cumsum(kept, dtype=np.int64)))
+        offsets = np.concatenate(([0], cs0[ends])).astype(np.int32)
+    else:
+        offsets = np.concatenate(([0], ends)).astype(np.int32)
+    return offsets, uniq_str[codes]
 
 
 def doc_term_stats(
@@ -304,5 +347,11 @@ def doc_term_stats(
 
 
 def tokenize_series(s: pd.Series, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.Series:
-    """Vectorized entry point for pandas UDFs: Series[str] -> Series[list[str]]."""
-    return s.map(lambda t: tokenize_text(t, cfg) if isinstance(t, str) else [])
+    """Vectorized entry point for pandas UDFs (T5): Series[str] ->
+    Series[list[str]], via the batch factorize path (one decode per
+    distinct token) rather than per-row tokenize_text."""
+    offsets, vals = batch_tokens_lists(list(s), cfg)
+    return pd.Series(
+        [list(vals[offsets[i]:offsets[i + 1]]) for i in range(len(s))],
+        index=s.index,
+    )

@@ -47,44 +47,16 @@ def tokens_df(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     vocabulary-growth contract depends on that."""
     import pyarrow as pa
 
-    from search_engine_spark.functions.tokenizer import (
-        _decode,
-        batch_token_codes,
-    )
+    from search_engine_spark.functions.tokenizer import batch_tokens_lists
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n = len(pdf)
-            if not n:
+            if not len(pdf):
                 continue
-            out = batch_token_codes(pdf["text"], cfg)
-            if out is None:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": pdf["doc_id"],
-                        "tokens": pd.array(
-                            [[] for _ in range(n)], dtype=object
-                        ),
-                    }
-                )
-                continue
-            codes, uniques, lens, keep_u = out
-            uniq_str = np.array(
-                [_decode(u) for u in uniques], dtype=object
-            )
-            ends = np.cumsum(lens)
-            if keep_u is not None and not keep_u.all():
-                kept = keep_u[codes]
-                sel = np.flatnonzero(kept)
-                codes = codes[sel]
-                # doc boundaries over the KEPT stream
-                cs0 = np.concatenate(([0], np.cumsum(kept, dtype=np.int64)))
-                offsets = np.concatenate(([0], cs0[ends])).astype(np.int32)
-            else:
-                offsets = np.concatenate(([0], ends)).astype(np.int32)
+            offsets, vals = batch_tokens_lists(pdf["text"], cfg)
             lists = pa.ListArray.from_arrays(
                 pa.array(offsets, type=pa.int32()),
-                pa.array(uniq_str[codes], type=pa.string()),
+                pa.array(vals, type=pa.string()),
             )
             yield pd.DataFrame(
                 {

@@ -414,10 +414,16 @@ def _tokenize_map_vec(cfg: EngineConfig):
 
 
 def _tokenize_map(cfg: EngineConfig):
-    store_pos = cfg.store_positions
-    use_stem = cfg.use_stemmer
-    if not use_stem:
+    """Postings kernel dispatch: the vectorized path for every config
+    except the (off-by-default) stemmer, whose within-doc stem
+    collisions need the per-doc re-aggregation below."""
+    if not cfg.use_stemmer:
         return _tokenize_map_vec(cfg)
+    return _tokenize_map_stem(cfg)
+
+
+def _tokenize_map_stem(cfg: EngineConfig):
+    store_pos = cfg.store_positions
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -425,17 +431,16 @@ def _tokenize_map(cfg: EngineConfig):
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 stats = list(doc_term_stats(text or "", cfg))
                 doc_len = sum(tf for _, tf, _ in stats)  # total tokens
-                if use_stem:
-                    # stems may collide within a doc → re-aggregate
-                    merged: dict = {}
-                    for term, tf, positions in stats:
-                        e = merged.setdefault(stem_text_token(term), [0, []])
-                        e[0] += tf
-                        e[1].extend(positions)
-                    stats = [
-                        (t, tf_ps[0], sorted(tf_ps[1]))
-                        for t, tf_ps in merged.items()
-                    ]
+                # stems may collide within a doc → re-aggregate
+                merged: dict = {}
+                for term, tf, positions in stats:
+                    e = merged.setdefault(stem_text_token(term), [0, []])
+                    e[0] += tf
+                    e[1].extend(positions)
+                stats = [
+                    (t, tf_ps[0], sorted(tf_ps[1]))
+                    for t, tf_ps in merged.items()
+                ]
                 for term, tf, positions in stats:
                     terms.append(term)
                     doc_ids.append(doc_id)

@@ -96,6 +96,7 @@ class LshIndex:
                  vec_col: str = "embedding"):
         self.emb = emb
         self.planes = planes
+        self.last_candidate_count: int | None = None
         self.tables = tables
         self.id_col = id_col
         self.vec_col = vec_col
@@ -183,8 +184,9 @@ class LshIndex:
             .select("vec_id", "vec")
             .dropDuplicates(["vec_id"])
         )
-        if count_candidates:
-            self.last_candidate_count = cand.count()
+        # always (re)assigned: a stale count from an earlier query must
+        # not masquerade as this query's scan size
+        self.last_candidate_count = cand.count() if count_candidates else None
         bc = spark.sparkContext.broadcast(q)
 
         def score(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -245,6 +247,7 @@ class IvfIndex:
                     cent[c] = v / (n if n else 1.0)
         self.centroids = cent
         self._assigned: DataFrame | None = None
+        self.last_candidate_count: int | None = None
 
     def build(self) -> DataFrame:
         cent = self.centroids
@@ -287,8 +290,7 @@ class IvfIndex:
         q = _as_unit(query_vec)
         cells = [int(c) for c in np.argsort(-(self.centroids @ q))[:nprobe]]
         cand = self._assigned.filter(F.col("cell").isin(cells))
-        if count_candidates:
-            self.last_candidate_count = cand.count()
+        self.last_candidate_count = cand.count() if count_candidates else None
         bc = self.emb.sparkSession.sparkContext.broadcast(q)
 
         def score(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:

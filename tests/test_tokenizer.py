@@ -193,3 +193,22 @@ def test_vec_kernel_general_config_path():
 )
 def test_vec_kernel_property_identity(texts):
     _assert_vec_identical(texts)
+
+
+def test_vec_kernel_lo_zero_no_empty_tokens():
+    # lo=0 must behave as lo=1 on BOTH paths: a run of exactly seg (51)
+    # bytes has an empty tail, which is never emitted
+    cfg = EngineConfig(index_partitions=2, min_token_bytes=0)
+    from search_engine_spark.functions.tokenizer import tokenize_text
+
+    assert tokenize_text("y" * 51, cfg) == ["y" * 51]
+    _assert_vec_identical(["y" * 51, "a bb", "y" * 102], cfg=cfg)
+
+
+def test_vec_kernel_mixed_oversize_batch():
+    # oversized runs in SOME docs must not change other docs' tokens
+    # (per-doc regex choice), and sub-lo tokens survive only where lo
+    # allows
+    _assert_vec_identical(
+        ["short one", "L" * 200 + " tail", "another short x y"]
+    )
