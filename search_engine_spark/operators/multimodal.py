@@ -2,15 +2,25 @@
 
 A 100 TB training-data pipeline carries image/audio/video as opaque
 ``binary`` columns next to typed metadata, and runs decode / feature
-extraction as Arrow-batched Pandas UDFs. The decode libraries (Pillow,
-ffmpeg, torchaudio) are NOT in this container, so the decode kernels are
-STUBBED — ``decode_image``/``decode_audio`` raise ``NotImplementedError``
-unless ``fake=True`` selects the deterministic fake decoder — while the
-Spark-side plumbing (schemas, mapInPandas batch shape, partitioning,
-metadata extraction) is real and tested.
+extraction as Arrow-batched Pandas UDFs.
 
-Magic-byte sniffing and hashing are JVM column expressions; only the
-(stubbed) decode crosses into Python.
+Decode status by format:
+
+* **netpbm images (P2/P3/P5/P6)** — REAL decode (pure numpy header +
+  ``frombuffer`` parse) via ``decoder="netpbm"``, with real
+  nearest-neighbor resize and the feature kernel on actual pixels.
+* **PCM WAV audio** — REAL decode (stdlib ``wave`` + numpy) in
+  ``decode_audio_features``: sample rate, channels, duration, RMS,
+  zero-crossing rate.
+* **PNG/JPEG/MP3/FLAC/MP4** — the codec libraries (Pillow, ffmpeg,
+  torchaudio) are NOT in this container, so those paths raise
+  ``NotImplementedError`` (or ``fake=True`` selects the deterministic
+  fake decoder for plumbing tests). The Spark-side shape — schemas,
+  mapInPandas batching, partitioning, metadata — is identical to the
+  real formats', so dropping in a library decoder changes one function.
+
+Magic-byte sniffing and hashing are JVM column expressions; only
+decode crosses into Python.
 """
 
 from __future__ import annotations
@@ -28,6 +38,10 @@ _MAGIC = (
     ("89504e47", "image/png"),
     ("ffd8ff", "image/jpeg"),
     ("47494638", "image/gif"),
+    ("5032", "image/x-portable-graymap"),   # P2 (ASCII PGM)
+    ("5033", "image/x-portable-pixmap"),    # P3 (ASCII PPM)
+    ("5035", "image/x-portable-graymap"),   # P5 (binary PGM)
+    ("5036", "image/x-portable-pixmap"),    # P6 (binary PPM)
     ("52494646", "audio/wav"),  # RIFF container (wav/avi)
     ("494433", "audio/mpeg"),
     ("664c6143", "audio/flac"),
@@ -67,6 +81,63 @@ _IMG_FEAT_SCHEMA = T.StructType(
 )
 
 
+def decode_netpbm(payload: bytes) -> np.ndarray:
+    """REAL netpbm decode (P2/P3 ASCII, P5/P6 binary) → grayscale
+    float64 HxW array in [0, maxval]. Pure numpy — no image library.
+    RGB (P3/P6) converts to luma via the BT.601 weights. Raises
+    ``ValueError`` on anything that is not a well-formed netpbm
+    payload (callers route by sniffed media_type first)."""
+    if len(payload) < 2 or payload[0:1] != b"P":
+        raise ValueError("not a netpbm payload")
+    kind = payload[1:2]
+    if kind not in b"2356":
+        raise ValueError(f"unsupported netpbm variant P{kind.decode()}")
+    # header: magic, then whitespace-separated width/height/maxval with
+    # '#' comments allowed between tokens
+    pos = 2
+    fields = []
+    n = len(payload)
+    while len(fields) < 3:
+        while pos < n and payload[pos] in b" \t\r\n":
+            pos += 1
+        if pos < n and payload[pos] in b"#":
+            while pos < n and payload[pos] not in b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < n and payload[pos] not in b" \t\r\n":
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated netpbm header")
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or maxval <= 0:
+        raise ValueError("bad netpbm dimensions")
+    channels = 3 if kind in b"36" else 1
+    count = w * h * channels
+    if kind in b"56":  # binary: exactly ONE whitespace byte after maxval
+        pos += 1
+        dtype = np.dtype(">u2") if maxval > 255 else np.uint8
+        arr = np.frombuffer(payload, dtype=dtype, count=count, offset=pos)
+        arr = arr.astype(np.float64)
+    else:  # ASCII samples
+        arr = np.array(payload[pos:].split()[:count], dtype=np.float64)
+        if len(arr) < count:
+            raise ValueError("truncated netpbm data")
+    if channels == 3:
+        rgb = arr.reshape(h, w, 3)
+        return rgb @ np.array([0.299, 0.587, 0.114])
+    return arr.reshape(h, w)
+
+
+def _resize_nearest(img: np.ndarray, side: int) -> np.ndarray:
+    """Real nearest-neighbor resize to side×side (numpy take)."""
+    h, w = img.shape
+    ys = np.minimum((np.arange(side) * h) // side, h - 1)
+    xs = np.minimum((np.arange(side) * w) // side, w - 1)
+    return img[np.ix_(ys, xs)]
+
+
 def _fake_decode(payload: bytes, side: int = 8) -> np.ndarray:
     """Deterministic fake decoder: payload bytes → pseudo-image
     (side × side grayscale) by tiling the byte stream. Stands in for
@@ -78,23 +149,38 @@ def _fake_decode(payload: bytes, side: int = 8) -> np.ndarray:
 
 def decode_image_features(df: DataFrame, payload_col: str = "payload",
                           id_col: str = "doc_id", side: int = 8,
-                          fake: bool = False) -> DataFrame:
+                          fake: bool = False,
+                          decoder: str | None = None) -> DataFrame:
     """Decode → resize → feature-extract pipeline over binary payloads,
-    as one Arrow-batched mapInPandas. Real decode requires an image
-    library not present in this container; pass ``fake=True`` for the
-    deterministic fake decoder (tests, plumbing verification)."""
-    if not fake:
+    as one Arrow-batched mapInPandas.
+
+    ``decoder="netpbm"`` is a REAL path: P2/P3/P5/P6 payloads decode to
+    actual pixels (pure numpy), nearest-neighbor-resize to side×side,
+    and the emitted width/height are the TRUE source dimensions.
+    ``fake=True`` keeps the deterministic fake decoder for plumbing
+    tests. PNG/JPEG need Pillow/libvips (absent here) and raise."""
+    if decoder == "netpbm":
+        def decode(payload: bytes):
+            img = decode_netpbm(payload)
+            h, w = img.shape
+            return _resize_nearest(img, side), w, h
+    elif fake:
+        def decode(payload: bytes):
+            return _fake_decode(payload, side), side, side
+    else:
         raise NotImplementedError(
-            "image decode requires Pillow/libvips, not available in this "
-            "container; pass fake=True for the deterministic fake decoder"
+            "PNG/JPEG decode requires Pillow/libvips, not available in "
+            "this container; decoder='netpbm' is the real path for "
+            "P2/P3/P5/P6 payloads, fake=True the plumbing-test decoder"
         )
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = _fake_decode(bytes(payload) if payload is not None else b"",
-                                   side)
+                img, w, h = decode(
+                    bytes(payload) if payload is not None else b""
+                )
                 # "feature" = row means, a stand-in for a CNN embedding
                 feat = (img.astype(np.float64).mean(axis=1) / 255.0).astype(
                     np.float32
@@ -102,8 +188,8 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
                 rows.append(
                     (
                         int(doc_id),
-                        side,
-                        side,
+                        int(w),
+                        int(h),
                         float(img.astype(np.float64).mean()),
                         feat.tolist(),
                     )
@@ -113,6 +199,85 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema=_IMG_FEAT_SCHEMA)
+
+
+_AUDIO_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("duration_s", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("zero_cross_rate", T.DoubleType(), False),
+    ]
+)
+
+
+def decode_wav(payload: bytes):
+    """REAL PCM WAV decode via stdlib ``wave``: returns
+    ``(mono float64 samples in [-1, 1], sample_rate, n_channels)``.
+    8/16/32-bit PCM; compressed codecs raise ``ValueError``."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            sr = wf.getframerate()
+            ch = wf.getnchannels()
+            width = wf.getsampwidth()
+            frames = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"not a PCM WAV payload: {e}") from e
+    if width == 1:  # unsigned 8-bit
+        x = np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if ch > 1:
+        x = x[: (len(x) // ch) * ch].reshape(-1, ch).mean(axis=1)
+    return x, sr, ch
+
+
+def decode_audio_features(df: DataFrame, payload_col: str = "payload",
+                          id_col: str = "doc_id") -> DataFrame:
+    """REAL audio feature extraction for PCM WAV payloads (stdlib
+    ``wave`` + numpy — no external codec): sample rate, channel count,
+    mono sample count, duration, RMS level, zero-crossing rate. The
+    Arrow-batched shape is the template a libsndfile/torchaudio decoder
+    would drop into for MP3/FLAC (which raise here)."""
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                x, sr, ch = decode_wav(
+                    bytes(payload) if payload is not None else b""
+                )
+                n = len(x)
+                rms = float(np.sqrt((x * x).mean())) if n else 0.0
+                zcr = (
+                    float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean())
+                    if n > 1
+                    else 0.0
+                )
+                rows.append(
+                    (int(doc_id), int(sr), int(ch), n,
+                     n / sr if sr else 0.0, rms, zcr)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_channels", "n_samples",
+                         "duration_s", "rms", "zero_cross_rate"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        fn, schema=_AUDIO_FEAT_SCHEMA
+    )
 
 
 _FRAME_SCHEMA = T.StructType(

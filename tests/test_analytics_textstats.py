@@ -295,3 +295,90 @@ def test_alt_tokenizers_match_python_reference(spark):
             if len(tok) > 2:
                 want_counts[tok.strip(".,!?;:\"'()[]{}")] += 1
     assert got_counts == want_counts
+
+
+def test_multimodal_real_netpbm_decode(spark):
+    """P5/P6/P2 decode is REAL: known pixels → known luma/features,
+    true source dimensions, nearest-neighbor resize."""
+    import numpy as np
+
+    from search_engine_spark.operators.multimodal import (
+        decode_image_features,
+        decode_netpbm,
+        media_metadata,
+    )
+
+    # 2x2 grayscale P5: pixels 0, 100, 200, 50
+    p5 = b"P5\n# comment\n2 2\n255\n" + bytes([0, 100, 200, 50])
+    # 1x2 RGB P6: pure red and pure white
+    p6 = b"P6 1 2 255\n" + bytes([255, 0, 0, 255, 255, 255])
+    # 2x1 ASCII P2
+    p2 = b"P2\n2 1\n255\n 10  240 "
+    img5 = decode_netpbm(p5)
+    assert img5.shape == (2, 2) and img5[0, 1] == 100.0
+    img6 = decode_netpbm(p6)
+    assert img6.shape == (2, 1)
+    assert abs(img6[0, 0] - 0.299 * 255) < 1e-9  # BT.601 red luma
+    assert abs(img6[1, 0] - 255.0) < 1e-9
+    assert decode_netpbm(p2).tolist() == [[10.0, 240.0]]
+
+    df = spark.createDataFrame(
+        [(0, bytearray(p5)), (1, bytearray(p6)), (2, bytearray(p2))],
+        "doc_id long, payload binary",
+    )
+    meta = {r["doc_id"]: r["media_type"] for r in media_metadata(df).collect()}
+    assert meta == {
+        0: "image/x-portable-graymap",
+        1: "image/x-portable-pixmap",
+        2: "image/x-portable-graymap",
+    }
+    feats = {r["doc_id"]: r for r in
+             decode_image_features(df, decoder="netpbm", side=2).collect()}
+    assert (feats[0]["width"], feats[0]["height"]) == (2, 2)
+    assert feats[0]["mean_luma"] == pytest.approx((0 + 100 + 200 + 50) / 4)
+    assert (feats[2]["width"], feats[2]["height"]) == (2, 1)
+    assert feats[2]["mean_luma"] == pytest.approx(125.0)
+    # resize of the 2x1 ASCII image to 2x2 repeats the single row
+    assert feats[2]["feature"] == pytest.approx([125.0 / 255] * 2)
+
+
+def test_multimodal_real_wav_decode(spark):
+    """PCM WAV decode is REAL: a synthesized square wave round-trips
+    with exact rate/channels/duration and the expected RMS/ZCR."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from search_engine_spark.operators.multimodal import (
+        decode_audio_features,
+        decode_wav,
+    )
+
+    sr = 8000
+    t = np.arange(sr)  # 1 second
+    square = (np.where((t // 100) % 2 == 0, 0.5, -0.5) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(square.tobytes())
+    payload = buf.getvalue()
+
+    x, rate, ch = decode_wav(payload)
+    assert (rate, ch, len(x)) == (sr, 1, sr)
+    assert abs(abs(x[0]) - 0.5) < 1e-3
+
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, payload binary"
+    )
+    row = decode_audio_features(df).collect()[0]
+    assert row["sample_rate"] == sr and row["n_channels"] == 1
+    assert row["duration_s"] == pytest.approx(1.0)
+    assert row["rms"] == pytest.approx(0.5, abs=1e-3)
+    # square wave flips every 100 samples → ~80 crossings / 8000
+    assert row["zero_cross_rate"] == pytest.approx(79 / 7999, abs=2e-3)
+
+    with pytest.raises(ValueError):
+        decode_wav(b"\x00" * 32)
