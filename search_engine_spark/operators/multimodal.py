@@ -289,28 +289,83 @@ _FRAME_SCHEMA = T.StructType(
 )
 
 
+def parse_y4m_frames(payload: bytes):
+    """REAL uncompressed-video frame parse: yuv4mpeg2 (Y4M) — stream
+    header ``YUV4MPEG2 W<w> H<h> ...\\n`` then ``FRAME...\\n`` markers,
+    each followed by w*h*3/2 bytes of raw 4:2:0 YUV (the only chroma
+    mode supported here; others raise). Returns the list of raw frame
+    byte-slices. Pure stdlib — no codec."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a yuv4mpeg2 payload")
+    nl = payload.index(b"\n")
+    header = payload[:nl].split(b" ")
+    w = h = None
+    for tok in header[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C" and not tok[1:].startswith(b"420"):
+            raise ValueError(f"unsupported chroma mode {tok.decode()}")
+    if not w or not h:
+        raise ValueError("yuv4mpeg2 header missing W/H")
+    frame_bytes = w * h * 3 // 2  # 4:2:0
+    frames = []
+    pos = nl + 1
+    n = len(payload)
+    while pos < n:
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos = payload.index(b"\n", pos) + 1
+        if pos + frame_bytes > n:
+            raise ValueError("truncated yuv4mpeg2 frame")
+        frames.append(payload[pos:pos + frame_bytes])
+        pos += frame_bytes
+    return frames
+
+
 def sample_frames(df: DataFrame, payload_col: str = "payload",
                   id_col: str = "doc_id", every_n_bytes: int = 64,
-                  n_frames: int = 4, fake: bool = False) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: emits ``n_frames``
-    evenly spaced "frames" per document (fake decoder slices the byte
-    stream; a real one would seek keyframes). Demonstrates the 1→N
-    row-expanding UDTF shape (mapInPandas output rows ≠ input rows)."""
-    if not fake:
-        raise NotImplementedError(
-            "video decode requires ffmpeg, not available in this container; "
-            "pass fake=True for the deterministic fake sampler"
-        )
+                  n_frames: int = 4, fake: bool = False,
+                  decoder: str | None = None) -> DataFrame:
+    """Frame sampling for video payloads — the 1→N row-expanding UDTF
+    shape (mapInPandas output rows ≠ input rows).
+
+    ``decoder="y4m"`` is a REAL path: yuv4mpeg2 payloads parse into
+    actual raw frames and ``n_frames`` evenly spaced ones are hashed.
+    ``fake=True`` keeps the byte-slicing plumbing sampler; compressed
+    codecs need ffmpeg (absent here) and raise."""
     import hashlib
+
+    if decoder == "y4m":
+        def chunks_of(data: bytes):
+            frames = parse_y4m_frames(data)
+            if not frames:
+                return []
+            idx = [
+                min(i * len(frames) // n_frames, len(frames) - 1)
+                for i in range(n_frames)
+            ]
+            return [frames[j] for j in idx]
+    elif fake:
+        def chunks_of(data: bytes):
+            return [
+                data[i * every_n_bytes:(i + 1) * every_n_bytes]
+                for i in range(n_frames)
+            ]
+    else:
+        raise NotImplementedError(
+            "compressed video needs ffmpeg, not available in this "
+            "container; decoder='y4m' is the real path for yuv4mpeg2 "
+            "payloads, fake=True the plumbing-test sampler"
+        )
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
-                for i in range(n_frames):
-                    start = i * every_n_bytes
-                    chunk = data[start : start + every_n_bytes]
+                for i, chunk in enumerate(chunks_of(data)):
                     rows.append(
                         (int(doc_id), i, hashlib.sha256(chunk).hexdigest())
                     )

@@ -382,3 +382,35 @@ def test_multimodal_real_wav_decode(spark):
 
     with pytest.raises(ValueError):
         decode_wav(b"\x00" * 32)
+
+
+def test_multimodal_real_y4m_frame_sampling(spark):
+    """yuv4mpeg2 parsing is REAL: synthesized 2x2 4:2:0 frames are
+    recovered exactly and evenly sampled."""
+    import hashlib
+
+    from search_engine_spark.operators.multimodal import (
+        parse_y4m_frames,
+        sample_frames,
+    )
+
+    # 2x2 4:2:0 → 6 bytes per frame; 5 frames with distinct fill bytes
+    frames = [bytes([i] * 6) for i in range(5)]
+    payload = b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420\n" + b"".join(
+        b"FRAME\n" + f for f in frames
+    )
+    assert parse_y4m_frames(payload) == frames
+
+    df = spark.createDataFrame(
+        [(3, bytearray(payload))], "doc_id long, payload binary"
+    )
+    got = {r["frame_idx"]: r["frame_sha"]
+           for r in sample_frames(df, n_frames=4, decoder="y4m").collect()}
+    # evenly spaced over 5 frames: indices 0, 1, 2, 3
+    assert got == {
+        i: hashlib.sha256(frames[j]).hexdigest()
+        for i, j in enumerate([0, 1, 2, 3])
+    }
+
+    with pytest.raises(Exception):
+        parse_y4m_frames(b"YUV4MPEG2 W2 H2 C444\n")
