@@ -38,10 +38,13 @@ _MAGIC = (
     ("89504e47", "image/png"),
     ("ffd8ff", "image/jpeg"),
     ("47494638", "image/gif"),
-    ("5032", "image/x-portable-graymap"),   # P2 (ASCII PGM)
-    ("5033", "image/x-portable-pixmap"),    # P3 (ASCII PPM)
-    ("5035", "image/x-portable-graymap"),   # P5 (binary PGM)
-    ("5036", "image/x-portable-pixmap"),    # P6 (binary PPM)
+    # netpbm magic is 2 bytes + whitespace; requiring the whitespace
+    # byte keeps ordinary text starting with "P2..." out
+    ("50320a", "image/x-portable-graymap"), ("503220", "image/x-portable-graymap"),
+    ("50330a", "image/x-portable-pixmap"), ("503320", "image/x-portable-pixmap"),
+    ("50350a", "image/x-portable-graymap"), ("503520", "image/x-portable-graymap"),
+    ("50360a", "image/x-portable-pixmap"), ("503620", "image/x-portable-pixmap"),
+    ("59555634", "video/x-yuv4mpeg"),       # YUV4MPEG2
     ("52494646", "audio/wav"),  # RIFF container (wav/avi)
     ("494433", "audio/mpeg"),
     ("664c6143", "audio/flac"),
