@@ -595,6 +595,30 @@ def _q_mm_meta(spark, sf_dir):
     return media_metadata(payloads).select("doc_id", "n_bytes", "sha256")
 
 
+def _q_mm_image_real(spark, sf_dir):
+    """REAL image decode under the gate: each doc ≥64 chars becomes a
+    valid binary-PGM (P5) payload whose 8×8 pixels are the first 64
+    text bytes; decode_image_features(decoder="netpbm") must recover
+    the exact byte-mean luma (oracle: ascii() arithmetic — the corpus
+    text is pure ASCII)."""
+    from search_engine_spark.operators.multimodal import (
+        decode_image_features,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 64)
+    payloads = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(bytearray(b"P5 8 8 255\n")),
+            F.substring(F.encode("text", "utf-8"), 1, 64),
+        ).alias("payload"),
+    )
+    out = decode_image_features(payloads, decoder="netpbm", side=8)
+    return _r6(
+        out.select("doc_id", "width", "height", "mean_luma"), "mean_luma"
+    )
+
+
 def _q_curate(spark, sf_dir):
     from search_engine_spark.operators.pipeline import curate
 
@@ -886,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
         "mm_meta": _q_mm_meta,
+        "mm_image_real": _q_mm_image_real,
         "curate": _q_curate,
         "curate_embed": _q_curate_embed,
         "decontam": _q_decontam,
@@ -1300,6 +1325,15 @@ FROM documents d LEFT JOIN (
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        sha256(text) AS sha256
 FROM documents
+""",
+        # real P5 decode: mean luma == mean of the first 64 ASCII byte
+        # values (the corpus text is pure ASCII, so ascii(char) == byte)
+        "mm_image_real": """
+SELECT doc_id, 8 AS width, 8 AS height,
+       round(avg(ascii(substr(text, i, 1))), 6) AS mean_luma
+FROM documents, unnest(range(1, 65)) AS t(i)
+WHERE length(text) >= 64
+GROUP BY doc_id
 """,
         "curate": _SHINGLES + """,
 inter AS (
