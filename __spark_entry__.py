@@ -619,6 +619,39 @@ def _q_mm_image_real(spark, sf_dir):
     )
 
 
+def _q_mm_audio_real(spark, sf_dir):
+    """REAL audio decode under the gate: each doc ≥64 chars becomes a
+    valid 8-bit PCM mono WAV (constant 44-byte header for 64 samples
+    at 8 kHz) whose samples are the first 64 text bytes;
+    decode_audio_features must recover the exact RMS and zero-crossing
+    rate the oracle computes from ascii() arithmetic."""
+    import struct
+
+    from search_engine_spark.operators.multimodal import (
+        decode_audio_features,
+    )
+
+    header = (
+        b"RIFF" + struct.pack("<I", 36 + 64) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", 64)
+    )
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 64)
+    payloads = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(bytearray(header)),
+            F.substring(F.encode("text", "utf-8"), 1, 64),
+        ).alias("payload"),
+    )
+    out = decode_audio_features(payloads)
+    return _r6(
+        out.select("doc_id", "sample_rate", "n_channels", "n_samples",
+                   "rms", "zero_cross_rate"),
+        "rms", "zero_cross_rate",
+    )
+
+
 def _q_curate(spark, sf_dir):
     from search_engine_spark.operators.pipeline import curate
 
@@ -911,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "mm_meta": _q_mm_meta,
         "mm_image_real": _q_mm_image_real,
+        "mm_audio_real": _q_mm_audio_real,
         "curate": _q_curate,
         "curate_embed": _q_curate_embed,
         "decontam": _q_decontam,
@@ -1334,6 +1368,24 @@ SELECT doc_id, 8 AS width, 8 AS height,
 FROM documents, unnest(range(1, 65)) AS t(i)
 WHERE length(text) >= 64
 GROUP BY doc_id
+""",
+        # real 8-bit PCM decode: sample_i = (byte_i - 128) / 128;
+        # signbit(0.0) is False, so the crossing test is (byte < 128)
+        "mm_audio_real": """
+WITH s AS (
+  SELECT doc_id, i, ascii(substr(text, i, 1)) AS b,
+         lag(ascii(substr(text, i, 1)))
+           OVER (PARTITION BY doc_id ORDER BY i) AS pb
+  FROM documents, unnest(range(1, 65)) AS t(i)
+  WHERE length(text) >= 64
+)
+SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels,
+       64::BIGINT AS n_samples,
+       round(sqrt(avg(power((b - 128) / 128.0, 2))), 6) AS rms,
+       round(avg(CASE WHEN pb IS NULL THEN NULL
+                      WHEN (b < 128) <> (pb < 128) THEN 1.0
+                      ELSE 0.0 END), 6) AS zero_cross_rate
+FROM s GROUP BY doc_id
 """,
         "curate": _SHINGLES + """,
 inter AS (
