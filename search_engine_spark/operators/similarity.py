@@ -23,11 +23,12 @@ reproducible against SQL oracles.
 
 from __future__ import annotations
 
+import os
 from typing import Iterable, Iterator, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -248,6 +249,7 @@ class IvfIndex:
         self.centroids = cent
         self._assigned: DataFrame | None = None
         self.last_candidate_count: int | None = None
+        self._spark = emb.sparkSession
 
     def build(self) -> DataFrame:
         cent = self.centroids
@@ -282,6 +284,44 @@ class IvfIndex:
         self._assigned = assigned.repartition("cell").persist()
         return self._assigned
 
+    def save(self, path: str) -> None:
+        """Persist the index AT REST: the assignment table written as
+        parquet ``partitionBy("cell")`` — a query's ``cell IN (...)``
+        then prunes to nprobe directories before any IO (the
+        PartitionFilters path, asserted by the plan test) — plus a
+        centroids sidecar parquet (driver-sized: n_centroids × dim)."""
+        if self._assigned is None:
+            self.build()
+        self._assigned.write.partitionBy("cell").mode("overwrite").parquet(
+            os.path.join(path, "assigned")
+        )
+        self._spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "centroids")
+        )
+
+    @classmethod
+    def load(cls, spark: "SparkSession", path: str) -> "IvfIndex":
+        """Open a saved index without touching the embedding table —
+        queries run partition-pruned scans over the saved layout."""
+        inst = cls.__new__(cls)
+        cent_rows = sorted(
+            spark.read.parquet(os.path.join(path, "centroids")).collect(),
+            key=lambda r: r["cell"],
+        )
+        inst.centroids = np.array(
+            [list(r["centroid"]) for r in cent_rows], dtype=np.float64
+        )
+        inst._assigned = spark.read.parquet(os.path.join(path, "assigned"))
+        inst.last_candidate_count = None
+        inst._spark = spark
+        inst.id_col = "vec_id"
+        inst.vec_col = "vec"
+        inst.emb = inst._assigned
+        return inst
+
     def query(self, query_vec: Sequence[float], k: int = 10, nprobe: int = 4,
               exclude_id: int | None = None,
               count_candidates: bool = False) -> DataFrame:
@@ -291,7 +331,7 @@ class IvfIndex:
         cells = [int(c) for c in np.argsort(-(self.centroids @ q))[:nprobe]]
         cand = self._assigned.filter(F.col("cell").isin(cells))
         self.last_candidate_count = cand.count() if count_candidates else None
-        bc = self.emb.sparkSession.sparkContext.broadcast(q)
+        bc = self._spark.sparkContext.broadcast(q)
 
         def score(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             qv = bc.value

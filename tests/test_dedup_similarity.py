@@ -197,3 +197,39 @@ def test_connected_components_chain_and_singletons(spark):
         for r in connected_components(pairs, nodes=nodes).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 7, 9: 9}
+
+
+def test_ivf_save_load_partition_pruned(spark, tmp_path):
+    """A saved IVF index answers identically to the in-memory one, and
+    the loaded query plan prunes parquet PARTITIONS (cell=...) rather
+    than scanning all cells."""
+    import numpy as np
+
+    from search_engine_spark.operators.similarity import IvfIndex
+
+    rng = np.random.RandomState(5)
+    emb = spark.createDataFrame(
+        [(i, rng.normal(size=8).tolist()) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = IvfIndex(emb, n_centroids=8)
+    q = [float(x) for x in rng.normal(size=8)]
+    mem = [(r["vec_id"], round(r["cos"], 9))
+           for r in idx.query(q, k=5, nprobe=3).collect()]
+
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+    loaded = IvfIndex.load(spark, path)
+    assert np.allclose(loaded.centroids, idx.centroids)
+    got = [(r["vec_id"], round(r["cos"], 9))
+           for r in loaded.query(q, k=5, nprobe=3).collect()]
+    assert got == mem
+
+    cells = [int(c) for c in
+             np.argsort(-(loaded.centroids @ (np.array(q) /
+                          np.linalg.norm(q))))[:3]]
+    plan = (
+        loaded._assigned.filter(F.col("cell").isin(cells))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "cell" in plan, plan
