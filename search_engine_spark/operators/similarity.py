@@ -24,6 +24,7 @@ reproducible against SQL oracles.
 from __future__ import annotations
 
 import os
+from functools import reduce
 from typing import Iterable, Iterator, Sequence
 
 import numpy as np
@@ -145,6 +146,48 @@ class LshIndex:
         self._sigs = sigs.repartition("table", "bucket").persist()
         return self._sigs
 
+    def save(self, path: str) -> None:
+        """Persist the signature table AT REST, parquet-partitioned by
+        (table, bucket): a multiprobe query's static cell predicate
+        prunes to its probed directories. Hyperplanes ride a sidecar
+        parquet (tables × planes × dim doubles — driver-sized)."""
+        if self._sigs is None:
+            self.build()
+        self._sigs.write.partitionBy("table", "bucket").mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "sigs"))
+        rows = [
+            (t, p, self.hyper[t, p].tolist())
+            for t in range(self.tables)
+            for p in range(self.planes)
+        ]
+        self.emb.sparkSession.createDataFrame(
+            rows, "table int, plane int, hyperplane array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "hyper")
+        )
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LshIndex":
+        """Open a saved signature index; queries prune to the probed
+        (table, bucket) partitions."""
+        inst = cls.__new__(cls)
+        hrows = spark.read.parquet(os.path.join(path, "hyper")).collect()
+        tables = max(r["table"] for r in hrows) + 1
+        planes = max(r["plane"] for r in hrows) + 1
+        dim = len(hrows[0]["hyperplane"])
+        hyper = np.zeros((tables, planes, dim))
+        for r in hrows:
+            hyper[r["table"], r["plane"]] = r["hyperplane"]
+        inst.hyper = hyper
+        inst.tables, inst.planes, inst.dim = tables, planes, dim
+        inst._sigs = spark.read.parquet(os.path.join(path, "sigs"))
+        inst.last_candidate_count = None
+        inst.id_col = "vec_id"
+        inst.vec_col = "vec"
+        inst.emb = inst._sigs
+        return inst
+
     def _query_buckets(self, q_unit: np.ndarray, probe_hamming: int) -> list:
         """(table, bucket) cells to scan: the query's bucket per table
         plus all buckets within `probe_hamming` bit flips (multiprobe)."""
@@ -177,11 +220,19 @@ class LshIndex:
         q = _as_unit(query_vec)
         cells = self._query_buckets(q, probe_hamming)
         spark = self.emb.sparkSession
-        cells_df = F.broadcast(
-            spark.createDataFrame(cells, "table int, bucket long")
+        # static OR-of-(table, bucket) predicate rather than a join:
+        # the probed-cell list is driver-sized (tables × probe count),
+        # and a literal predicate statically PRUNES the partitioned
+        # at-rest layout (a join would need runtime DPP to do the same)
+        pred = reduce(
+            lambda a, c: a | c,
+            [
+                (F.col("table") == t) & (F.col("bucket") == b)
+                for t, b in cells
+            ],
         )
         cand = (
-            self._sigs.join(cells_df, ["table", "bucket"])
+            self._sigs.filter(pred)
             .select("vec_id", "vec")
             .dropDuplicates(["vec_id"])
         )

@@ -233,3 +233,41 @@ def test_ivf_save_load_partition_pruned(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "cell" in plan, plan
+
+
+def test_lsh_save_load_partition_pruned(spark, tmp_path):
+    """A saved LSH index answers identically and its probed-cell
+    predicate prunes parquet partitions statically."""
+    import numpy as np
+
+    from search_engine_spark.operators.similarity import LshIndex
+
+    rng = np.random.RandomState(9)
+    emb = spark.createDataFrame(
+        [(i, rng.normal(size=8).tolist()) for i in range(150)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = LshIndex(emb, planes=4, tables=3)
+    q = [float(x) for x in rng.normal(size=8)]
+    mem = [(r["vec_id"], round(r["cos"], 9))
+           for r in idx.query(q, k=5, probe_hamming=1).collect()]
+
+    path = str(tmp_path / "lsh")
+    idx.save(path)
+    loaded = LshIndex.load(spark, path)
+    assert np.allclose(loaded.hyper, idx.hyper)
+    got = [(r["vec_id"], round(r["cos"], 9))
+           for r in loaded.query(q, k=5, probe_hamming=1).collect()]
+    assert got == mem
+
+    cells = loaded._query_buckets(
+        np.array(q) / np.linalg.norm(q), probe_hamming=1
+    )
+    from pyspark.sql import functions as F
+    from functools import reduce
+    pred = reduce(lambda a, c: a | c,
+                  [(F.col("table") == t) & (F.col("bucket") == b)
+                   for t, b in cells])
+    plan = (loaded._sigs.filter(pred)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
