@@ -414,3 +414,38 @@ def test_multimodal_real_y4m_frame_sampling(spark):
 
     with pytest.raises(Exception):
         parse_y4m_frames(b"YUV4MPEG2 W2 H2 C444\n")
+
+
+def test_multimodal_decoder_width_branches():
+    """16-bit netpbm and 32-bit/stereo WAV branches decode exactly."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from search_engine_spark.operators.multimodal import (
+        decode_netpbm,
+        decode_wav,
+    )
+
+    # P5 with maxval 65535 → big-endian u16 samples
+    p5_16 = b"P5 2 1 65535\n" + struct.pack(">HH", 1000, 64000)
+    assert decode_netpbm(p5_16).tolist() == [[1000.0, 64000.0]]
+
+    # 32-bit stereo WAV: L=+0.25, R=-0.25 → mono mix 0.0; and
+    # L=R=+0.5 → 0.5
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(4)
+        wf.setframerate(16000)
+        smp = struct.pack(
+            "<iiii",
+            int(0.25 * 2**31), int(-0.25 * 2**31),
+            int(0.5 * 2**31), int(0.5 * 2**31),
+        )
+        wf.writeframes(smp)
+    x, sr, ch = decode_wav(buf.getvalue())
+    assert (sr, ch, len(x)) == (16000, 2, 2)
+    assert abs(x[0]) < 1e-9 and abs(x[1] - 0.5) < 1e-9
