@@ -825,7 +825,16 @@ class SearchEngine:
         return self.scores_df(query).count()
 
     def search_batch(self, queries: List[str], k: Optional[int] = None) -> DataFrame:
-        """V11: union of per-query top-k plans tagged with the query."""
+        """V11: union of per-query top-k plans tagged with the query.
+        Term stats for ALL queries prefetch in ONE dictionary scan
+        (term_stats memoizes), instead of one lookup job per query."""
+        all_terms: List[str] = []
+        for q in queries:
+            ast = qp.parse(q)
+            if ast is not None:
+                all_terms.extend(qp.extract_terms(ast))
+        if all_terms:
+            self.term_stats(list(dict.fromkeys(all_terms)))
         parts = [
             self.search(q, k, with_meta=False).withColumn("query", F.lit(q))
             for q in queries
