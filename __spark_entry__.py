@@ -652,6 +652,27 @@ def _q_mm_audio_real(spark, sf_dir):
     )
 
 
+def _q_sample_hash(spark, sf_dir):
+    """Deterministic 10% held-out slice: md5-bucket predicate, exactly
+    reproducible in any engine (pipeline.hash_sample)."""
+    from search_engine_spark.operators.pipeline import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), rate=0.1).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _q_cap_per_source(spark, sf_dir):
+    """Frequency capping: at most 10 docs per source (the corpus has
+    25/source, so the cap demonstrably bites), lowest doc_ids win
+    (pipeline.cap_per_group)."""
+    from search_engine_spark.operators.pipeline import cap_per_group
+
+    return cap_per_group(
+        _docs(spark, sf_dir), "source", 10
+    ).select("doc_id", "source")
+
+
 def _q_curate(spark, sf_dir):
     from search_engine_spark.operators.pipeline import curate
 
@@ -945,6 +966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_meta": _q_mm_meta,
         "mm_image_real": _q_mm_image_real,
         "mm_audio_real": _q_mm_audio_real,
+        "sample_hash": _q_sample_hash,
+        "cap_per_source": _q_cap_per_source,
         "curate": _q_curate,
         "curate_embed": _q_curate_embed,
         "decontam": _q_decontam,
@@ -1386,6 +1409,20 @@ SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels,
                       WHEN (b < 128) <> (pb < 128) THEN 1.0
                       ELSE 0.0 END), 6) AS zero_cross_rate
 FROM s GROUP BY doc_id
+""",
+        # md5 hex is identical across engines; DuckDB parses the same
+        # first-8-hex-digit prefix Spark's conv() does
+        "sample_hash": """
+SELECT doc_id, lang, source FROM documents
+WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)
+      % 1000000 < 100000
+""",
+        "cap_per_source": """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 10
 """,
         "curate": _SHINGLES + """,
 inter AS (

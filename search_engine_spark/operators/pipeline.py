@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from search_engine_spark.operators.dedup import (
@@ -78,6 +78,46 @@ def decontaminate(
     ).distinct()
     clean = docs.join(contaminated, id_col, "left_anti")
     return clean, contaminated
+
+
+def hash_sample(
+    docs: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic Bernoulli-style sampling: keep a row iff the md5
+    of its id falls in the first ``rate`` fraction of ``buckets``
+    hash buckets. Unlike ``DataFrame.sample`` this is reproducible
+    across runs/partitionings AND portable across engines (md5 is
+    bit-identical everywhere — the DuckDB oracle computes the same
+    predicate), which is what a training-data pipeline needs to carve
+    stable held-out slices. Pure column expressions — no UDF, no
+    shuffle; the predicate pushes into the scan."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return docs.filter(h % buckets < int(rate * buckets))
+
+
+def cap_per_group(
+    docs: DataFrame,
+    group_col: str,
+    max_per_group: int,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Frequency capping: keep at most ``max_per_group`` rows per
+    group (e.g. per source domain), deterministically the lowest
+    ``order_col`` ones — the standard guard against a single crawl
+    host dominating the training mix. One window over the group key
+    (the only shuffle); skewed groups cost one partition's sort, and
+    the kept rows stream out without a second pass."""
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_group)
+        .drop("_rn")
+    )
 
 
 def curate(

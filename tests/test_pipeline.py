@@ -1,6 +1,7 @@
 """Curation pipeline tests."""
 
 import pytest
+from pyspark.sql import functions as F
 
 
 @pytest.fixture(scope="module")
@@ -119,3 +120,27 @@ def test_curate_with_embedding_neardup_stage(spark, docs):
     assert kept == [0]
     assert report["after_near_dedup"] == 2
     assert report["after_embed_dedup"] == 1
+
+
+def test_hash_sample_deterministic_and_cap(spark):
+    """hash_sample is partitioning-invariant; cap_per_group keeps the
+    lowest order_col rows per group."""
+    from search_engine_spark.operators.pipeline import (
+        cap_per_group,
+        hash_sample,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id").withColumn(
+        "grp", (F.col("doc_id") % 3).cast("string")
+    )
+    a = sorted(r["doc_id"] for r in hash_sample(df, 0.2).collect())
+    b = sorted(
+        r["doc_id"] for r in hash_sample(df.repartition(13), 0.2).collect()
+    )
+    assert a == b and 0 < len(a) < 500
+
+    capped = cap_per_group(df, "grp", 5)
+    rows = sorted((r["grp"], r["doc_id"]) for r in capped.collect())
+    assert len(rows) == 15
+    # lowest five ids of group "0" are 0,3,6,9,12
+    assert [d for g, d in rows if g == "0"] == [0, 3, 6, 9, 12]
