@@ -652,6 +652,17 @@ def _q_mm_audio_real(spark, sf_dir):
     )
 
 
+def _q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (word-bigram top share and
+    diversity) — textstats.repetition_stats."""
+    from search_engine_spark.operators.textstats import repetition_stats
+
+    return _r6(
+        repetition_stats(_docs(spark, sf_dir), n=2),
+        "top_ngram_ratio", "distinct_ngram_ratio",
+    )
+
+
 def _q_sample_hash(spark, sf_dir):
     """Deterministic 10% held-out slice: md5-bucket predicate, exactly
     reproducible in any engine (pipeline.hash_sample)."""
@@ -966,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_meta": _q_mm_meta,
         "mm_image_real": _q_mm_image_real,
         "mm_audio_real": _q_mm_audio_real,
+        "repetition": _q_repetition,
         "sample_hash": _q_sample_hash,
         "cap_per_source": _q_cap_per_source,
         "curate": _q_curate,
@@ -1412,6 +1424,22 @@ FROM s GROUP BY doc_id
 """,
         # md5 hex is identical across engines; DuckDB parses the same
         # first-8-hex-digit prefix Spark's conv() does
+        "repetition": "WITH " + _OTOKS + """,
+big AS (
+  SELECT a.doc_id, a.term || ' ' || b.term AS sh
+  FROM otoks a JOIN otoks b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
+),
+per AS (SELECT doc_id, sh, count(*) AS c FROM big GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, max(c)::DOUBLE / sum(c) AS tr,
+         count(*)::DOUBLE / sum(c) AS dr
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(coalesce(a.tr, 0), 6) AS top_ngram_ratio,
+       round(coalesce(a.dr, 0), 6) AS distinct_ngram_ratio
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
         "sample_hash": """
 SELECT doc_id, lang, source FROM documents
 WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)

@@ -152,6 +152,39 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(tokens_col(text)), shingles_of), 1)
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     n: int = 2, id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document over word
+    ``n``-grams: ``top_ngram_ratio`` (most frequent n-gram's share of
+    all n-gram occurrences — high ⇒ boilerplate/spam loops) and
+    ``distinct_ngram_ratio`` (vocabulary diversity). Docs with fewer
+    than ``n`` tokens emit 0/0.
+
+    Shape at scale: the JVM shingle array explodes once and aggregates
+    by (doc, shingle) — one hash shuffle keyed by the doc, no UDF."""
+    sh = docs.select(
+        F.col(id_col), F.explode_outer(shingles_col(F.col(text_col), n)).alias("sh")
+    )
+    per = sh.groupBy(id_col, "sh").count()
+    return (
+        per.groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("sh").isNotNull(), F.col("count"))).alias("_mx"),
+            F.sum(F.when(F.col("sh").isNotNull(), F.col("count"))).alias("_tot"),
+            F.count(F.when(F.col("sh").isNotNull(), True)).alias("_dst"),
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("_mx") / F.col("_tot"), F.lit(0.0)).alias(
+                "top_ngram_ratio"
+            ),
+            F.coalesce(F.col("_dst") / F.col("_tot"), F.lit(0.0)).alias(
+                "distinct_ngram_ratio"
+            ),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Document fingerprint = lexicographic min of md5(shingle) — a
     deterministic winnowing-style content signature. md5 keeps it

@@ -449,3 +449,23 @@ def test_multimodal_decoder_width_branches():
     x, sr, ch = decode_wav(buf.getvalue())
     assert (sr, ch, len(x)) == (16000, 2, 2)
     assert abs(x[0]) < 1e-9 and abs(x[1] - 0.5) < 1e-9
+
+
+def test_repetition_stats_known_values(spark):
+    from search_engine_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam"),      # bigrams: 3x "spam spam"
+            (1, "aa bb cc dd"),              # 3 distinct bigrams
+            (2, "xx"),                       # < 2 tokens → 0/0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
+    assert got[0]["top_ngram_ratio"] == pytest.approx(1.0)
+    assert got[0]["distinct_ngram_ratio"] == pytest.approx(1 / 3)
+    assert got[1]["top_ngram_ratio"] == pytest.approx(1 / 3)
+    assert got[1]["distinct_ngram_ratio"] == pytest.approx(1.0)
+    assert got[2]["top_ngram_ratio"] == 0.0
+    assert got[2]["distinct_ngram_ratio"] == 0.0
