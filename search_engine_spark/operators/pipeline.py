@@ -6,6 +6,8 @@ pipeline runs between crawl and tokenizer:
     raw docs
       │ 1. language filter        (keep langs in `langs`, textstats E11-ish)
       │ 2. quality floor          (quality_score ≥ min_quality)
+      │ 2b. repetition cap        (optional: top word-bigram share ≤
+      │                            max_top_ngram_ratio, Gopher-style)
       │ 3. exact dedup            (md5(text), keep min id)
       │ 4. near-dup removal       (n-gram Jaccard ≥ threshold via
       │                            MinHash-LSH candidates + exact verify;
@@ -124,6 +126,7 @@ def curate(
     docs: DataFrame,
     langs: Optional[Sequence[str]] = None,
     min_quality: float = 0.0,
+    max_top_ngram_ratio: Optional[float] = None,
     near_dup_threshold: Optional[float] = 0.8,
     ngram: int = 3,
     use_lsh: bool = True,
@@ -165,6 +168,19 @@ def curate(
         )
         if with_report:
             report["after_quality_floor"] = out.count()
+
+    if max_top_ngram_ratio is not None:
+        # Gopher-style repetition cap: drop boilerplate/spam-loop docs
+        # whose most frequent word bigram dominates the n-gram stream
+        from search_engine_spark.operators.textstats import repetition_stats
+
+        rep = repetition_stats(out, text_col, n=2, id_col=id_col)
+        bad = rep.filter(
+            F.col("top_ngram_ratio") > max_top_ngram_ratio
+        ).select(id_col)
+        out = out.join(bad, id_col, "left_anti")
+        if with_report:
+            report["after_repetition_filter"] = out.count()
 
     out = drop_exact_dups(out, id_col, text_col)
     if with_report:

@@ -144,3 +144,20 @@ def test_hash_sample_deterministic_and_cap(spark):
     assert len(rows) == 15
     # lowest five ids of group "0" are 0,3,6,9,12
     assert [d for g, d in rows if g == "0"] == [0, 3, 6, 9, 12]
+
+
+def test_curate_repetition_stage(spark):
+    from search_engine_spark.operators.pipeline import curate
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha bravo charlie delta echo foxtrot", "en"),
+            (1, "spam spam spam spam spam spam", "en"),  # repetitive
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out, report = curate(
+        df, max_top_ngram_ratio=0.5, near_dup_threshold=None,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [0]
+    assert report["after_repetition_filter"] == 1
