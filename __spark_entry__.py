@@ -652,6 +652,27 @@ def _q_mm_audio_real(spark, sf_dir):
     )
 
 
+def _q_scrub_pii(spark, sf_dir):
+    """PII redaction must actually fire: every 7th doc gets a planted
+    email + phone appended, then textstats.scrub_pii redacts; the
+    oracle plants and redacts identically in SQL."""
+    from search_engine_spark.operators.textstats import scrub_pii
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" mail bob.smith+x@mail.example.org tel +1 (415) 555-0133 end"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return scrub_pii(docs).select(
+        "doc_id", F.md5("text").alias("text_md5")
+    )
+
+
 def _q_repetition(spark, sf_dir):
     """Gopher-style repetition signals (word-bigram top share and
     diversity) — textstats.repetition_stats."""
@@ -977,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_meta": _q_mm_meta,
         "mm_image_real": _q_mm_image_real,
         "mm_audio_real": _q_mm_audio_real,
+        "scrub_pii": _q_scrub_pii,
         "repetition": _q_repetition,
         "sample_hash": _q_sample_hash,
         "cap_per_source": _q_cap_per_source,
@@ -1424,6 +1446,18 @@ FROM s GROUP BY doc_id
 """,
         # md5 hex is identical across engines; DuckDB parses the same
         # first-8-hex-digit prefix Spark's conv() does
+        "scrub_pii": """
+SELECT doc_id, md5(
+  regexp_replace(
+    regexp_replace(
+      CASE WHEN doc_id % 7 = 0
+           THEN text || ' mail bob.smith+x@mail.example.org tel +1 (415) 555-0133 end'
+           ELSE text END,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g')
+) AS text_md5
+FROM documents
+""",
         "repetition": "WITH " + _OTOKS + """,
 big AS (
   SELECT a.doc_id, a.term || ' ' || b.term AS sh

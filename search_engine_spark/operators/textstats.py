@@ -185,6 +185,25 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+# conservative patterns shared with the SQL oracle — both Spark (Java
+# regex) and DuckDB (RE2) support this subset identically
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text",
+              email_token: str = "<EMAIL>",
+              phone_token: str = "<PHONE>") -> DataFrame:
+    """Redact emails and phone-number-like digit runs from the text
+    column (standard pre-training PII scrub). Pure JVM
+    ``regexp_replace`` — no UDF; the patterns are restricted to the
+    regex subset Java and RE2 interpret identically, so the operator
+    is exactly SQL-oracle-checkable."""
+    out = F.regexp_replace(F.col(text_col), EMAIL_RE, email_token)
+    out = F.regexp_replace(out, PHONE_RE, phone_token)
+    return docs.withColumn(text_col, out)
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Document fingerprint = lexicographic min of md5(shingle) — a
     deterministic winnowing-style content signature. md5 keeps it

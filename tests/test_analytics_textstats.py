@@ -469,3 +469,20 @@ def test_repetition_stats_known_values(spark):
     assert got[1]["distinct_ngram_ratio"] == pytest.approx(1.0)
     assert got[2]["top_ngram_ratio"] == 0.0
     assert got[2]["distinct_ngram_ratio"] == 0.0
+
+
+def test_scrub_pii(spark):
+    from search_engine_spark.operators.textstats import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "write a.b-c_d%e+f@sub.host.org now"),
+            (1, "call +1 (415) 555-0133 or 415-555-0134 today"),
+            (2, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in scrub_pii(df).collect()}
+    assert got[0] == "write <EMAIL> now"
+    assert got[1] == "call <PHONE> or <PHONE> today"
+    assert got[2] == "no pii here"
