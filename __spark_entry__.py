@@ -415,6 +415,15 @@ def _q_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
 
+def _q_dedup_span(spark, sf_dir):
+    """Chunked exact-substring dedup (Lee et al. 2021 at span
+    granularity): duplicate 10-token spans are dropped corpus-wide,
+    first writer (doc_id, span_no) wins — dedup.span_dedup."""
+    from search_engine_spark.operators.dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir), w=10)
+
+
 def _q_dedup_ngram(spark, sf_dir):
     from search_engine_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -983,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage": _q_coverage,
         "lang_stats": _q_lang_stats,
         "dedup_exact": _q_dedup_exact,
+        "dedup_span": _q_dedup_span,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -1324,6 +1334,34 @@ FROM documents GROUP BY lang ORDER BY lang
 SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_copies,
        min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text)
+""",
+        # chunked ExactSubstr: duplicate 10-token spans dropped
+        # corpus-wide, first (doc_id, span_no) wins; md5 of the
+        # re-joined surviving spans is the value contract
+        "dedup_span": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '),
+                     t -> length(t) BETWEEN 2 AND 50) AS tk
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, i AS span_no,
+         array_to_string(tk[i*10+1 : i*10+10], ' ') AS span_text
+  FROM toks, UNNEST(range(CAST(ceil(len(tk)/10.0) AS BIGINT))) AS u(i)
+),
+kept AS (
+  SELECT doc_id, span_no, span_text FROM (
+    SELECT *, row_number() OVER (PARTITION BY span_text
+                                 ORDER BY doc_id, span_no) AS rn
+    FROM spans) WHERE rn = 1
+)
+SELECT s.doc_id, s.n_spans, COALESCE(k.n_kept, 0) AS n_kept,
+       md5(COALESCE(k.clean, '')) AS clean_md5
+FROM (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1) s
+LEFT JOIN (SELECT doc_id, count(*) AS n_kept,
+                  string_agg(span_text, ' ' ORDER BY span_no) AS clean
+           FROM kept GROUP BY 1) k USING (doc_id)
 """,
         "dedup_ngram": _JACCARD_PAIRS_CAPPED,
         "dedup_minhash": _JACCARD_PAIRS,

@@ -142,6 +142,13 @@ def main() -> None:
             lambda: minhash_lsh_pairs(docs, threshold=0.8).count(),
         )
 
+        from search_engine_spark.operators.dedup import span_dedup
+
+        bench(
+            "q_dedup_span",
+            lambda: span_dedup(docs, w=10).count(),
+        )
+
         from search_engine_spark.operators.similarity import cosine_topk
 
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))

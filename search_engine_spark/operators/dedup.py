@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from search_engine_spark.operators.textstats import shingles_col
+from search_engine_spark.operators.textstats import shingles_col, tokens_col
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -69,6 +69,91 @@ def drop_exact_dups(docs: DataFrame, id_col: str = "doc_id",
         F.col("keep_id").alias(id_col)
     )
     return docs.join(keep, id_col, "inner")
+
+
+def span_dedup(docs: DataFrame, w: int = 10, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Chunked exact-substring dedup — the scalable Spark shape of
+    suffix-array ExactSubstr dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", 2021): each document's token
+    stream is cut into consecutive ``w``-token spans; a span whose exact
+    text occurred earlier in the corpus (global order = (doc_id,
+    span_no) ascending, first writer wins) is dropped, and the surviving
+    spans re-join in order into the cleaned text.
+
+    Returns one row per document that produced >= 1 span:
+    ``(doc_id, n_spans, n_kept, clean_md5)`` where ``clean_md5`` is the
+    md5 of the space-joined surviving spans (md5('') when every span was
+    a duplicate).
+
+    Scale design:
+    * Span construction is one map stage. The token array is bound ONCE
+      via the ``element_at(transform(array(...)), 1)`` idiom — Spark HOF
+      lambdas do not hoist non-lambda subexpressions, so referencing the
+      split result directly inside ``transform`` would re-tokenize per
+      span (the shingles_col O(len^2) bug).
+    * First-writer-wins needs no window function: ``groupBy(span_text)
+      .agg(min(struct(doc_id, span_no)))`` IS the kept-span set, and the
+      min partial-aggregates map-side, so a hyper-duplicated span (a
+      boilerplate footer repeated across millions of pages) collapses
+      before the shuffle instead of landing on one reducer the way
+      ``row_number() over (partition by span_text)`` would.
+    * Shuffle keys carry the span text so the dedup is exact; a
+      production variant at 100 TB keys on xxhash128(span_text) and
+      resolves the ~0 collision risk in a residual equality check.
+
+    Reference scope: the reference dedups whole documents by URL
+    (src/indexer/database_handler.py upsert); span granularity is the
+    training-data extension this engine adds.
+    """
+    toks = tokens_col(F.col(text_col))
+    spans_arr = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda tk: F.when(F.size(tk) == 0, F.array().cast("array<string>"))
+            .otherwise(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(tk) / F.lit(float(w))).cast("int") - 1,
+                    ),
+                    lambda i: F.array_join(F.slice(tk, i * w + 1, w), " "),
+                )
+            ),
+        ),
+        1,
+    )
+    spans = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(spans_arr).alias("span_no", "span_text"),
+    )
+    winners = spans.groupBy("span_text").agg(
+        F.min(F.struct("doc_id", "span_no")).alias("first")
+    )
+    kept = winners.select(
+        F.col("first.doc_id").alias("doc_id"),
+        F.col("first.span_no").alias("span_no"),
+        "span_text",
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans")
+    )
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_no", "span_text"))),
+                lambda s: s["span_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return per_doc.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_md5"),
+    )
 
 
 # ---------------------------------------------------------------------------
