@@ -714,6 +714,32 @@ def _q_cap_per_source(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def _q_mix_sources(spark, sf_dir):
+    """Data-mixture weighting: src0 kept at 80%, src1 at 30%, src2
+    dropped, everything else at 100% — pipeline.mix_sources' portable
+    md5-bucket predicate (same rule as sample_hash)."""
+    from search_engine_spark.operators.pipeline import mix_sources
+
+    return mix_sources(
+        _docs(spark, sf_dir),
+        weights={"src0": 0.8, "src1": 0.3, "src2": 0.0},
+        group_col="source",
+    ).select("doc_id", "source")
+
+
+def _q_canonical_pick(spark, sf_dir):
+    """Quality-aware canonicalization: one representative per near-dup
+    cluster, highest quality_score wins (6-dp, doc_id tiebreak) —
+    pipeline.canonicalize_by_quality over the df-capped exact-Jaccard
+    pair list."""
+    from search_engine_spark.operators.dedup import ngram_jaccard_pairs
+    from search_engine_spark.operators.pipeline import canonicalize_by_quality
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return canonicalize_by_quality(docs, pairs)
+
+
 def _q_curate(spark, sf_dir):
     from search_engine_spark.operators.pipeline import curate
 
@@ -1012,6 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _q_repetition,
         "sample_hash": _q_sample_hash,
         "cap_per_source": _q_cap_per_source,
+        "mix_sources": _q_mix_sources,
+        "canonical_pick": _q_canonical_pick,
         "curate": _q_curate,
         "curate_embed": _q_curate_embed,
         "decontam": _q_decontam,
@@ -1523,6 +1551,76 @@ SELECT doc_id, source FROM (
          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
   FROM documents
 ) WHERE rn <= 10
+""",
+        # same md5-bucket rule as sample_hash, but with a per-source
+        # threshold: thresholds are the driver-side round(rate*1e6)
+        # integer literals the engine bakes in
+        "mix_sources": """
+SELECT doc_id, source FROM documents
+WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)
+      % 1000000
+      < (CASE source WHEN 'src0' THEN 800000
+                     WHEN 'src1' THEN 300000
+                     WHEN 'src2' THEN 0
+                     ELSE 1000000 END)
+""",
+        # connected components (same recursive CTE + df-capped pairs as
+        # dup_components) -> per-component argmax of the 6-dp-rounded
+        # quality score, doc_id ascending on ties
+        "canonical_pick": _SHINGLES.replace("WITH ", "WITH RECURSIVE ", 1)
+        + _CAND_CAPPED + """,
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN shn na ON na.doc_id = id_a
+  JOIN shn nb ON nb.doc_id = id_b
+  WHERE i * 1.0 / (na.n_sh + nb.n_sh - i) >= 0.8
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+""" + _TOKS.strip() + """,
+qagg AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(length(term)) AS sum_len,
+         count(DISTINCT term) AS n_distinct
+  FROM toks GROUP BY doc_id
+),
+qbase AS (
+  SELECT d.doc_id,
+         CASE WHEN coalesce(a.n_tokens, 0) > 0
+              THEN a.sum_len * 1.0 / a.n_tokens ELSE 0.0 END AS avg_tok,
+         CASE WHEN coalesce(a.n_tokens, 0) > 0
+              THEN a.n_distinct * 1.0 / a.n_tokens ELSE 0.0 END AS distinct_ratio,
+         CASE WHEN length(d.text) > 0
+              THEN length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))
+                   * 1.0 / length(d.text) ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN length(d.text) > 0
+              THEN length(regexp_replace(d.text, '[^\\s]', '', 'g'))
+                   * 1.0 / length(d.text) ELSE 0.0 END AS ws_ratio
+  FROM documents d LEFT JOIN qagg a USING (doc_id)
+),
+q AS (
+  SELECT doc_id, round(least(1.0,
+    0.25 * greatest(0.0, 1.0 - abs(avg_tok - 5.5) / 5.5)
+    + 0.25 * distinct_ratio + 0.25 * alpha_ratio
+    + 0.25 * greatest(0.0, 1.0 - abs(ws_ratio - 0.17) / 0.17)), 6) AS q6
+  FROM qbase
+),
+m AS (SELECT c.component, c.doc_id, q.q6 FROM comp c JOIN q USING (doc_id))
+SELECT component::BIGINT AS component, doc_id AS keep_id,
+       q6 AS best_quality, n_members
+FROM (
+  SELECT component, doc_id, q6,
+         CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY q6 DESC, doc_id ASC) AS rn
+  FROM m) WHERE rn = 1
 """,
         "curate": _SHINGLES + """,
 inter AS (

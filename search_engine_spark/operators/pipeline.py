@@ -102,6 +102,41 @@ def hash_sample(
     return docs.filter(h % buckets < int(rate * buckets))
 
 
+def mix_sources(
+    docs: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Data-mixture weighting: sample each group (source/domain) at its
+    own deterministic rate — the step that turns a raw crawl into a
+    weighted pretraining mix (Pile/Gopher-style sampling ratios).
+    ``weights`` maps group value → keep rate in [0, 1]; groups not
+    listed keep ``default_rate``. The per-row predicate is the same
+    portable md5-bucket rule as :func:`hash_sample` (bit-identical in
+    any engine), so re-runs, engine swaps, and partition changes all
+    carve the same subset. The rate lookup is a literal ``CASE`` chain
+    — pure column expressions, no UDF, no shuffle, predicate pushes
+    into the scan.
+
+    Rates become integer bucket thresholds driver-side
+    (``round(rate * buckets)``) so the cutoff is an exact literal —
+    engine-side ``double * int -> long`` casts differ between engines
+    (Spark truncates, DuckDB rounds) right at the boundary bucket."""
+    thr = F.lit(int(round(float(default_rate) * buckets)))
+    for key in sorted(weights):
+        thr = F.when(
+            F.col(group_col) == key,
+            F.lit(int(round(float(weights[key]) * buckets))),
+        ).otherwise(thr)
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return docs.filter((h % buckets) < thr)
+
+
 def cap_per_group(
     docs: DataFrame,
     group_col: str,
@@ -119,6 +154,59 @@ def cap_per_group(
         docs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_per_group)
         .drop("_rn")
+    )
+
+
+def canonicalize_by_quality(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick ONE representative per near-dup cluster by content quality
+    instead of lowest-id: connected components over the verified pair
+    list, then per component the member with the highest
+    ``quality_score`` (textstats.quality_features), doc_id ascending on
+    ties. Training pipelines keep the best-written copy of a duplicated
+    page, not the first-crawled one.
+
+    Returns ``(component, keep_id, best_quality, n_members)`` — one row
+    per cluster (singletons included, component = own id).
+
+    Scale: components come from dedup.connected_components (min-label
+    propagation over the pair list — pairs are already the sparse
+    near-dup graph, never all-pairs); quality is a pure map stage; the
+    winner per component is one map-side-combinable ``min(struct(-q,
+    id))`` aggregation. Ranking compares quality ROUNDED to 6 dp (ties
+    broken by id) so the pick is reproducible across engines — raw
+    double argmax would make the kept doc depend on sub-ulp evaluation
+    order differences.
+    """
+    from search_engine_spark.operators.dedup import connected_components
+    from search_engine_spark.operators.textstats import quality_features
+
+    comp = connected_components(pairs, nodes=docs.select(F.col(id_col)))
+    q = quality_features(docs).select(
+        F.col(id_col).alias("node"),
+        F.round(F.col("quality_score"), 6).alias("q6"),
+    )
+    members = comp.join(q, "node")
+    return (
+        members.groupBy("component")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min(
+                F.struct(
+                    (-F.col("q6")).alias("negq"),
+                    F.col("node").alias("keep_id"),
+                )
+            ).alias("best"),
+        )
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.col("best.keep_id").cast("long").alias("keep_id"),
+            F.round(-F.col("best.negq"), 6).alias("best_quality"),
+            "n_members",
+        )
     )
 
 

@@ -161,3 +161,52 @@ def test_curate_repetition_stage(spark):
     )
     assert sorted(r["doc_id"] for r in out.collect()) == [0]
     assert report["after_repetition_filter"] == 1
+
+
+def test_mix_sources_per_group_rates(spark):
+    """Mixture weighting keeps each group at its own deterministic
+    md5-bucket rate: rate-0 groups vanish, rate-1 groups survive
+    whole, and the kept subset of a weighted group is identical to
+    hash_sample at the same rate (same predicate, same buckets)."""
+    from search_engine_spark.operators.pipeline import hash_sample, mix_sources
+
+    rows = [(i, "text", f"s{i % 3}") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = mix_sources(docs, {"s0": 0.5, "s1": 0.0}, group_col="source")
+    kept = {r["doc_id"]: r["source"] for r in out.collect()}
+
+    assert not any(s == "s1" for s in kept.values())
+    assert sum(1 for s in kept.values() if s == "s2") == 100  # default 1.0
+    s0_kept = {i for i, s in kept.items() if s == "s0"}
+    s0_expect = {
+        r["doc_id"]
+        for r in hash_sample(docs.filter("source = 's0'"), 0.5).collect()
+    }
+    assert s0_kept == s0_expect and 0 < len(s0_kept) < 100
+
+    again = {r["doc_id"] for r in
+             mix_sources(docs, {"s0": 0.5, "s1": 0.0},
+                         group_col="source").collect()}
+    assert again == set(kept)
+
+
+def test_canonicalize_by_quality_keeps_best_not_first(spark):
+    """The representative of a near-dup cluster is the highest-quality
+    member even when it has the HIGHER doc_id (min-id canonicalization
+    would pick the other one); singletons keep themselves."""
+    from search_engine_spark.operators.pipeline import canonicalize_by_quality
+
+    low_q = "zz zz zz zz zz zz zz zz zz zz"            # repetitive
+    high_q = "alpha bravo charlie delta echoes foxtrot"  # diverse
+    docs = spark.createDataFrame(
+        [(1, low_q), (2, high_q), (7, "lonely standalone document here")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = {r["component"]: r for r in
+           canonicalize_by_quality(docs, pairs).collect()}
+
+    assert set(out) == {1, 7}
+    assert out[1]["keep_id"] == 2          # better quality beats lower id
+    assert out[1]["n_members"] == 2
+    assert out[7]["keep_id"] == 7 and out[7]["n_members"] == 1
