@@ -421,7 +421,10 @@ def _q_dedup_span(spark, sf_dir):
     first writer (doc_id, span_no) wins — dedup.span_dedup."""
     from search_engine_spark.operators.dedup import span_dedup
 
-    return span_dedup(_docs(spark, sf_dir), w=10)
+    return span_dedup(_docs(spark, sf_dir), w=10).select(
+        "doc_id", "n_spans", "n_kept",
+        F.md5("clean_text").alias("clean_md5"),
+    )
 
 
 def _q_dedup_ngram(spark, sf_dir):

@@ -82,9 +82,9 @@ def span_dedup(docs: DataFrame, w: int = 10, id_col: str = "doc_id",
     spans re-join in order into the cleaned text.
 
     Returns one row per document that produced >= 1 span:
-    ``(doc_id, n_spans, n_kept, clean_md5)`` where ``clean_md5`` is the
-    md5 of the space-joined surviving spans (md5('') when every span was
-    a duplicate).
+    ``(doc_id, n_spans, n_kept, clean_text)`` where ``clean_text`` is
+    the space-joined surviving spans ('' when every span was a
+    duplicate).
 
     Scale design:
     * Span construction is one map stage. The token array is bound ONCE
@@ -152,7 +152,7 @@ def span_dedup(docs: DataFrame, w: int = 10, id_col: str = "doc_id",
         "doc_id",
         "n_spans",
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-        F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_md5"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
 
 

@@ -229,6 +229,7 @@ def curate(
     embed_id_col: str = "vec_id",
     embed_vec_col: str = "embedding",
     embed_n_blocks: int = 8,
+    span_w: Optional[int] = None,
 ):
     """Returns (curated_df, report_dict) — report has per-stage counts
     when ``with_report`` (it triggers counting jobs; pass False to keep
@@ -238,7 +239,14 @@ def curate(
     documents sharing any ``decontam_ngram``-gram with the benchmark
     set are dropped (the standard 13-gram test-set-leakage rule),
     keeping the full curation story one call deep. Runs LAST — spending
-    the benchmark join only on docs that survived the cheaper filters."""
+    the benchmark join only on docs that survived the cheaper filters.
+
+    ``span_w`` adds chunked exact-substring cleaning (dedup.span_dedup)
+    as the very last stage — the only stage that REWRITES text instead
+    of dropping documents: duplicate ``span_w``-token spans are removed
+    corpus-wide (first writer wins) and a document whose text empties
+    out is dropped. Runs after every doc-level decision so filters,
+    dedup, and decontamination all judge the original text."""
     report = {}
     if with_report:
         report["input"] = docs.count()
@@ -312,5 +320,33 @@ def curate(
         )
         if with_report:
             report["after_decontamination"] = out.count()
+
+    if span_w is not None:
+        from search_engine_spark.operators.dedup import span_dedup
+
+        cleaned = span_dedup(out, w=span_w, id_col=id_col,
+                             text_col=text_col)
+        out = (
+            out.join(
+                cleaned.select(
+                    F.col("doc_id").alias(id_col), "n_kept", "clean_text"
+                ),
+                id_col,
+                "left",
+            )
+            # docs that produced no spans (no 2..50-char tokens) keep
+            # their original text; span-producing docs take the
+            # cleaned join; fully-duplicated docs empty out and drop
+            .withColumn(
+                text_col,
+                F.when(
+                    F.col("n_kept").isNotNull(), F.col("clean_text")
+                ).otherwise(F.col(text_col)),
+            )
+            .filter(F.length(F.col(text_col)) > 0)
+            .select(*docs.columns)
+        )
+        if with_report:
+            report["after_span_dedup"] = out.count()
 
     return out, report

@@ -277,11 +277,8 @@ def test_span_dedup_first_writer_wins(spark):
     """Chunked ExactSubstr semantics: a span's first (doc_id, span_no)
     occurrence survives, every later exact repeat is dropped, and the
     cleaned text re-joins the surviving spans in order."""
-    import hashlib
-
     from search_engine_spark.operators.dedup import span_dedup
 
-    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
     rows = [
         (1, "aa bb cc dd ee"),   # spans (w=2): "aa bb", "cc dd", "ee"
         (2, "aa bb zz yy"),      # first span lost to doc 1
@@ -294,8 +291,8 @@ def test_span_dedup_first_writer_wins(spark):
 
     assert set(out) == {1, 2, 3, 5}
     assert (out[1]["n_spans"], out[1]["n_kept"]) == (3, 3)
-    assert out[1]["clean_md5"] == md5("aa bb cc dd ee")
+    assert out[1]["clean_text"] == "aa bb cc dd ee"
     assert (out[2]["n_spans"], out[2]["n_kept"]) == (2, 1)
-    assert out[2]["clean_md5"] == md5("zz yy")
-    assert (out[3]["n_kept"], out[3]["clean_md5"]) == (0, md5(""))
-    assert (out[5]["n_kept"], out[5]["clean_md5"]) == (0, md5(""))
+    assert out[2]["clean_text"] == "zz yy"
+    assert (out[3]["n_kept"], out[3]["clean_text"]) == (0, "")
+    assert (out[5]["n_kept"], out[5]["clean_text"]) == (0, "")

@@ -210,3 +210,25 @@ def test_canonicalize_by_quality_keeps_best_not_first(spark):
     assert out[1]["keep_id"] == 2          # better quality beats lower id
     assert out[1]["n_members"] == 2
     assert out[7]["keep_id"] == 7 and out[7]["n_members"] == 1
+
+
+def test_curate_span_dedup_stage(spark):
+    """span_w rewrites text as the last curate stage: duplicate spans
+    vanish corpus-wide (first writer wins), docs whose text empties
+    out are dropped, and span-free docs pass through untouched."""
+    from search_engine_spark.operators.pipeline import curate
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha bravo charlie delta", "en"),
+            (1, "alpha bravo charlie delta echo golf", "en"),
+            # same spans as doc 0 in the other order -> empties out
+            (2, "charlie delta alpha bravo", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out, report = curate(df, near_dup_threshold=None, span_w=2)
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+
+    assert rows == {0: "alpha bravo charlie delta", 1: "echo golf"}
+    assert report["after_span_dedup"] == 2
