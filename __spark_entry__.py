@@ -743,6 +743,15 @@ def _q_canonical_pick(spark, sf_dir):
     return canonicalize_by_quality(docs, pairs)
 
 
+def _q_pack_seqs(spark, sf_dir):
+    """Sequence packing: docs laid end-to-end in doc_id order, cut
+    every 100 tokens — pipeline.pack_sequences (two-pass distributed
+    prefix sum, no single-partition window)."""
+    from search_engine_spark.operators.pipeline import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), max_tokens=100)
+
+
 def _q_curate(spark, sf_dir):
     from search_engine_spark.operators.pipeline import curate
 
@@ -1043,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": _q_cap_per_source,
         "mix_sources": _q_mix_sources,
         "canonical_pick": _q_canonical_pick,
+        "pack_seqs": _q_pack_seqs,
         "curate": _q_curate,
         "curate_embed": _q_curate_embed,
         "decontam": _q_decontam,
@@ -1566,6 +1576,27 @@ WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)
                      WHEN 'src1' THEN 300000
                      WHEN 'src2' THEN 0
                      ELSE 1000000 END)
+""",
+        # concatenate-then-chunk packing: exclusive running token total
+        # in doc_id order, cut every 100 tokens
+        "pack_seqs": "WITH " + _TOKS.strip() + """,
+pern AS (
+  SELECT d.doc_id, coalesce(t.n, 0) AS n
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t
+  USING (doc_id)
+),
+c AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS before
+  FROM pern
+)
+SELECT doc_id, n::BIGINT AS n_tokens,
+       (before // 100)::BIGINT AS seq_id,
+       (before % 100)::BIGINT AS seq_offset
+FROM c
 """,
         # connected components (same recursive CTE + df-capped pairs as
         # dup_components) -> per-component argmax of the 6-dp-rounded

@@ -244,6 +244,63 @@ def _add_partition_offset_ids(spark: SparkSession, ranged: DataFrame,
     return ranged.mapInPandas(add_ids, schema=out_schema)
 
 
+def global_prefix_sum(df: DataFrame, sort_cols, value_col: str,
+                      col_name: str = "_prefix",
+                      partitions: int = 64) -> DataFrame:
+    """EXCLUSIVE global prefix sum of ``value_col`` in ``sort_cols``
+    order, without a single-partition window — the running-total twin
+    of :func:`global_ordinal` (same two-pass shape: range-partition +
+    in-partition sort, per-partition totals collected to the driver
+    (one row per partition), broadcast offsets, in-partition cumsum).
+    Row i gets sum(value of all rows strictly before it). Exact same
+    values as ``sum(value) over (order by sort_cols rows between
+    unbounded preceding and 1 preceding)`` with nulls-as-zero.
+
+    Same persistence contract as global_ordinal: the range partitioning
+    samples boundaries, so the input is persisted across the two passes
+    and the result eagerly localCheckpoint'ed before the cache is
+    released."""
+    parts = max(1, partitions)
+    ranged = (
+        df.repartitionByRange(parts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .persist()
+    )
+    sums = (
+        ranged.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.sum(F.coalesce(F.col(value_col), F.lit(0))).alias("s"))
+        .collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in sorted(sums, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += int(row["s"] or 0)
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(col_name, T.LongType(), False)]
+    )
+
+    def add_prefix(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        running = offsets.get(pid, 0)
+        for pdf in batches:
+            v = pdf[value_col].fillna(0).to_numpy(dtype=np.int64)
+            cs = np.cumsum(v)
+            pdf = pdf.copy()
+            pdf[col_name] = running + cs - v
+            running += int(cs[-1]) if len(v) else 0
+            yield pdf
+
+    out = ranged.mapInPandas(add_prefix, schema=out_schema)
+    out = out.localCheckpoint(eager=True)
+    ranged.unpersist()
+    return out
+
+
 def build_docs(
     spark: SparkSession, pages: DataFrame, cfg: EngineConfig
 ) -> DataFrame:

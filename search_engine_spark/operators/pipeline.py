@@ -157,6 +157,47 @@ def cap_per_group(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int = 64,
+) -> DataFrame:
+    """Sequence packing — the concatenate-then-chunk step that turns a
+    curated corpus into fixed-length training sequences (GPT-style:
+    documents are laid end-to-end in ``id_col`` order and the stream is
+    cut every ``max_tokens`` tokens, so a document may straddle a
+    sequence boundary). Returns, per document:
+
+    ``(doc_id, n_tokens, seq_id, seq_offset)`` — the sequence its first
+    token lands in and the offset within it. A consumer emitting actual
+    training rows explodes each doc over ``range(seq_id,
+    (cum_before + n_tokens) // max_tokens + 1)``.
+
+    Scale: the global running total comes from
+    index_build.global_prefix_sum — range-partition on id + two-pass
+    per-partition offsets (one driver row per partition), NOT a
+    single-partition window, so a 10^12-doc corpus packs with the same
+    plan shape as doc-id assignment."""
+    from search_engine_spark.operators.index_build import global_prefix_sum
+    from search_engine_spark.operators.textstats import tokens_col
+
+    withn = docs.select(
+        F.col(id_col),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    pre = global_prefix_sum(
+        withn, [F.col(id_col).asc()], "n_tokens", "_before", partitions
+    )
+    return pre.select(
+        id_col,
+        "n_tokens",
+        F.floor(F.col("_before") / max_tokens).cast("long").alias("seq_id"),
+        (F.col("_before") % max_tokens).cast("long").alias("seq_offset"),
+    )
+
+
 def canonicalize_by_quality(
     docs: DataFrame,
     pairs: DataFrame,

@@ -232,3 +232,25 @@ def test_curate_span_dedup_stage(spark):
 
     assert rows == {0: "alpha bravo charlie delta", 1: "echo golf"}
     assert report["after_span_dedup"] == 2
+
+
+def test_pack_sequences_matches_serial_cumsum(spark):
+    """The two-pass distributed prefix sum assigns every doc the same
+    (seq_id, seq_offset) as a serial concatenate-then-chunk walk, even
+    with the input scattered over many partitions."""
+    from search_engine_spark.operators.pipeline import pack_sequences
+
+    rows = [(i, " ".join(["tok"] * (i % 7 + 1))) for i in range(200)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).repartition(16)
+    out = {r["doc_id"]: (r["n_tokens"], r["seq_id"], r["seq_offset"])
+           for r in pack_sequences(docs, max_tokens=10,
+                                   partitions=8).collect()}
+
+    before = 0
+    for i in range(200):
+        n = i % 7 + 1
+        assert out[i] == (n, before // 10, before % 10), i
+        before += n
+    assert len(out) == 200
