@@ -743,6 +743,15 @@ def _q_canonical_pick(spark, sf_dir):
     return canonicalize_by_quality(docs, pairs)
 
 
+def _q_shuffle_rank(spark, sf_dir):
+    """Reproducible training-order shuffle: dense rank by
+    md5(seed:doc_id) — pipeline.deterministic_shuffle (two-pass
+    ordinal, no single-partition window)."""
+    from search_engine_spark.operators.pipeline import deterministic_shuffle
+
+    return deterministic_shuffle(_docs(spark, sf_dir), seed=42)
+
+
 def _q_pack_seqs(spark, sf_dir):
     """Sequence packing: docs laid end-to-end in doc_id order, cut
     every 100 tokens — pipeline.pack_sequences (two-pass distributed
@@ -1053,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sources": _q_mix_sources,
         "canonical_pick": _q_canonical_pick,
         "pack_seqs": _q_pack_seqs,
+        "shuffle_rank": _q_shuffle_rank,
         "curate": _q_curate,
         "curate_embed": _q_curate_embed,
         "decontam": _q_decontam,
@@ -1576,6 +1586,13 @@ WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)
                      WHEN 'src1' THEN 300000
                      WHEN 'src2' THEN 0
                      ELSE 1000000 END)
+""",
+        # deterministic permutation: dense rank in md5('42:'||id) order
+        "shuffle_rank": """
+SELECT doc_id,
+       (row_number() OVER (ORDER BY md5('42:' || doc_id::VARCHAR),
+                           doc_id) - 1)::BIGINT AS shuffle_rank
+FROM documents
 """,
         # concatenate-then-chunk packing: exclusive running token total
         # in doc_id order, cut every 100 tokens

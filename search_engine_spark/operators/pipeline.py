@@ -198,6 +198,38 @@ def pack_sequences(
     )
 
 
+def deterministic_shuffle(
+    docs: DataFrame,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    partitions: int = 64,
+) -> DataFrame:
+    """Reproducible corpus shuffle: rank documents by
+    ``md5(seed:doc_id)`` — the training-order randomization step, made
+    deterministic so a rerun (or another engine) produces the identical
+    permutation. Returns ``(doc_id, shuffle_rank)`` with a dense
+    0-based rank; feed the rank to :func:`pack_sequences` as the order
+    key to pack in shuffled order.
+
+    Scale: the dense rank is index_build.global_ordinal (range
+    partition + two-pass offsets), so the permutation of a 10^12-doc
+    corpus costs the same plan as doc-id assignment — no
+    single-partition window, no driver-side sort."""
+    from search_engine_spark.operators.index_build import global_ordinal
+
+    withk = docs.select(
+        F.col(id_col),
+        F.md5(
+            F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+        ).alias("_k"),
+    )
+    out = global_ordinal(
+        withk, [F.col("_k").asc(), F.col(id_col).asc()], "shuffle_rank",
+        partitions,
+    )
+    return out.select(id_col, F.col("shuffle_rank").cast("long").alias("shuffle_rank"))
+
+
 def canonicalize_by_quality(
     docs: DataFrame,
     pairs: DataFrame,

@@ -254,3 +254,25 @@ def test_pack_sequences_matches_serial_cumsum(spark):
         assert out[i] == (n, before // 10, before % 10), i
         before += n
     assert len(out) == 200
+
+
+def test_deterministic_shuffle_is_reproducible_permutation(spark):
+    """Same seed -> identical permutation across calls; different seed
+    -> different permutation; ranks are a dense 0..n-1 relabeling, not
+    identity order."""
+    from search_engine_spark.operators.pipeline import deterministic_shuffle
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(100)], "doc_id long, text string"
+    ).repartition(8)
+
+    def ranks(seed):
+        return {r["doc_id"]: r["shuffle_rank"]
+                for r in deterministic_shuffle(docs, seed=seed,
+                                               partitions=4).collect()}
+
+    r1, r1b, r2 = ranks(1), ranks(1), ranks(2)
+    assert sorted(r1.values()) == list(range(100))
+    assert r1 == r1b
+    assert r1 != r2
+    assert r1 != {i: i for i in range(100)}
