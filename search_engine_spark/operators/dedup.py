@@ -135,9 +135,15 @@ def span_dedup(docs: DataFrame, w: int = 10, id_col: str = "doc_id",
         F.col("first.span_no").alias("span_no"),
         "span_text",
     )
-    per_doc = spans.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_spans")
-    )
+    # n_spans is a closed-form map column (ceil(n_tokens / w)), NOT a
+    # groupBy over the exploded spans: counting after the explode would
+    # re-run the whole tokenize+explode branch a second time (Spark
+    # does not share the subplan between consumers) and add a doc_id
+    # shuffle for a value the scan already knows.
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.ceil(F.size(toks) / F.lit(float(w))).cast("long").alias("n_spans"),
+    ).filter(F.col("n_spans") > 0)
     kept_agg = kept.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_kept"),
         F.array_join(
