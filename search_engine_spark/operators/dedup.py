@@ -229,26 +229,41 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     a pair whose every shared shingle is ubiquitous is missed — at
     threshold ≥ 0.5 such pairs share most of their shingles, so this
     requires an essentially boilerplate-only corpus (document, don't
-    fear)."""
-    sh = shingle_table(docs, n, id_col, text_col)
+    fear).
+
+    The shingle table is persisted across its consumers (df filter,
+    candidate self-join, exact verify — plan audit counted 8 re-scans
+    of the corpus without it, Spark shares no subplans between
+    consumers) and released after the pair list materializes via the
+    same eager-localCheckpoint contract as minhash_lsh_pairs."""
+    from pyspark import StorageLevel
+
+    sh = shingle_table(docs, n, id_col, text_col).persist(
+        StorageLevel.DISK_ONLY
+    )
+    sh.count()
     if max_shingle_df is None:
-        return _jaccard_from_shingles(sh, threshold)
-    rare = (
-        sh.groupBy("shingle")
-        .count()
-        .filter(F.col("count") <= max_shingle_df)
-        .select("shingle")
-    )
-    joinable = sh.join(rare, "shingle")
-    a = joinable.alias("a")
-    b = joinable.alias("b")
-    candidates = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    return _verify_pairs(candidates, sh, threshold)
+        verified = _jaccard_from_shingles(sh, threshold)
+    else:
+        rare = (
+            sh.groupBy("shingle")
+            .count()
+            .filter(F.col("count") <= max_shingle_df)
+            .select("shingle")
+        )
+        joinable = sh.join(rare, "shingle")
+        a = joinable.alias("a")
+        b = joinable.alias("b")
+        candidates = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        verified = _verify_pairs(candidates, sh, threshold)
+    out = verified.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 def _verify_pairs(candidates: DataFrame, sh: DataFrame,
