@@ -485,8 +485,13 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
         F.array_distinct(shingles_col(F.col(text_col), n)).alias("shingles"),
     ).filter(F.size("shingles") > 0).persist(StorageLevel.DISK_ONLY)
     sh_docs.count()  # materialize once; signatures + verification reuse it
+    # the banding self-join consumes sigs on BOTH sides — without a
+    # persist the signature Arrow pass runs twice (self-joins duplicate
+    # the subplan; no exchange reuse fires)
     sigs = minhash_signatures(docs, n, num_hashes, seed, id_col, text_col,
-                              shingle_docs=sh_docs)
+                              shingle_docs=sh_docs).persist(
+        StorageLevel.DISK_ONLY
+    )
     banded = sigs.select(
         "id",
         F.explode(
@@ -525,6 +530,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     # be released immediately instead of living for the session
     out = verified.localCheckpoint(eager=True)
     sh_docs.unpersist()
+    sigs.unpersist()
     return out
 
 
