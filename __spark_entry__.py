@@ -496,6 +496,20 @@ def _q_ann_brute(spark, sf_dir):
     )
 
 
+def _q_ann_batch(spark, sf_dir):
+    """Batched exact top-k: 5 query vectors scored in ONE corpus pass
+    (per-batch matmul + local top-k) — similarity.cosine_topk_batch."""
+    from search_engine_spark.operators.similarity import cosine_topk_batch
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return _r6(
+        cosine_topk_batch(emb, queries, k=10, exclude_self=True), "cos"
+    )
+
+
 def _planted_emb(spark, sf_dir):
     """Embeddings plus 20 deterministic planted near-neighbors of the
     vec_id-0 query: planted_i = q + 0.15·e_i elementwise (vec_id
@@ -1046,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": _q_dup_components,
         "embed_top_pairs": _q_embed_top_pairs,
         "ann_brute": _q_ann_brute,
+        "ann_batch": _q_ann_batch,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "lang_id": _q_lang_id,
@@ -1450,6 +1465,20 @@ ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
                                 b.embedding::DOUBLE[]) DESC,
          a.vec_id, b.vec_id
 LIMIT 10
+""",
+        # five queries, one corpus pass; self-matches excluded
+        "ann_batch": """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.q_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, round(cos, 6) AS cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM s) WHERE rn <= 10
 """,
         "ann_brute": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

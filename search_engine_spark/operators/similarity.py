@@ -79,6 +79,83 @@ def cosine_topk(emb: DataFrame, query_vec: Sequence[float], k: int = 10,
     return scores.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
+def cosine_topk_batch(emb: DataFrame, queries: DataFrame, k: int = 10,
+                      exclude_self: bool = False,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      q_id_col: str = "q_id",
+                      q_vec_col: str = "q_vec") -> DataFrame:
+    """Exact cosine top-k for MANY query vectors in ONE corpus pass —
+    the batch shape a dedup-against-index step actually runs (score a
+    batch of new docs against the whole corpus), instead of one scan
+    per query.
+
+    ``queries`` is a small (q_id, q_vec) table; it is collected and
+    broadcast (queries are few by contract — corpus-sized query sets
+    belong in embedding_pairs_*). Each Arrow batch scores ALL queries
+    with one (batch × n_q) matmul and emits only its LOCAL top-k rows
+    per query, so the final per-query selection aggregates
+    partitions × n_q × k rows — never corpus × n_q. Returns
+    (q_id, vec_id, cos), ties vec_id asc; ``exclude_self`` masks
+    corpus rows whose id equals the query id (self-match).
+    """
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    qids = np.array([r[q_id_col] for r in qrows], dtype=np.int64)
+    qmat = np.stack([_as_unit(r[q_vec_col]) for r in qrows])  # (n_q, d)
+    bc = emb.sparkSession.sparkContext.broadcast((qids, qmat))
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType(), False),
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("cos", T.DoubleType(), False),
+        ]
+    )
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            nrm[nrm == 0] = 1.0
+            scores = (mat / nrm[:, None]) @ q_mat.T  # (n, n_q)
+            if exclude_self:
+                scores[ids[:, None] == q_ids[None, :]] = -np.inf
+            top = min(k, len(ids))
+            # local top-k per query column (argpartition, then exact
+            # sort of just the k survivors)
+            part = np.argpartition(-scores, top - 1, axis=0)[:top]  # (k, n_q)
+            out_q, out_id, out_cos = [], [], []
+            for j in range(len(q_ids)):
+                rows = part[:, j]
+                order = np.lexsort((ids[rows], -scores[rows, j]))
+                sel = rows[order]
+                keep = np.isfinite(scores[sel, j])
+                out_q.append(np.full(int(keep.sum()), q_ids[j],
+                                     dtype=np.int64))
+                out_id.append(ids[sel][keep])
+                out_cos.append(scores[sel, j][keep])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_id),
+                    "cos": np.concatenate(out_cos),
+                }
+            )
+
+    local = emb.select(id_col, vec_col).mapInPandas(fn, schema=schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH ANN
 # ---------------------------------------------------------------------------

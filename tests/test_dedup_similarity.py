@@ -296,3 +296,33 @@ def test_span_dedup_first_writer_wins(spark):
     assert out[2]["clean_text"] == "zz yy"
     assert (out[3]["n_kept"], out[3]["clean_text"]) == (0, "")
     assert (out[5]["n_kept"], out[5]["clean_text"]) == (0, "")
+
+
+def test_cosine_topk_batch_matches_single_query(spark):
+    """One-pass batched top-k returns exactly what per-query
+    cosine_topk returns, self-matches excluded, across partitions."""
+    import numpy as np
+
+    from search_engine_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(50)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(8)
+    queries = emb.filter("vec_id < 3").select(
+        emb.vec_id.alias("q_id"), emb.embedding.alias("q_vec")
+    )
+
+    batch = {}
+    for r in cosine_topk_batch(emb, queries, k=5, exclude_self=True).collect():
+        batch.setdefault(r["q_id"], []).append((r["vec_id"], round(r["cos"], 9)))
+
+    for qid in range(3):
+        single = [(r["vec_id"], round(r["cos"], 9))
+                  for r in cosine_topk(emb, rows[qid][1], k=5,
+                                       exclude_id=qid).collect()]
+        assert batch[qid] == single, qid
