@@ -99,6 +99,11 @@ def cosine_topk_batch(emb: DataFrame, queries: DataFrame, k: int = 10,
     corpus rows whose id equals the query id (self-match).
     """
     qrows = queries.select(q_id_col, q_vec_col).collect()
+    if not qrows:
+        spark = emb.sparkSession
+        return spark.createDataFrame(
+            [], "q_id long, vec_id long, cos double"
+        )
     qids = np.array([r[q_id_col] for r in qrows], dtype=np.int64)
     qmat = np.stack([_as_unit(r[q_vec_col]) for r in qrows])  # (n_q, d)
     bc = emb.sparkSession.sparkContext.broadcast((qids, qmat))

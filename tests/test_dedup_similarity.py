@@ -326,3 +326,48 @@ def test_cosine_topk_batch_matches_single_query(spark):
                   for r in cosine_topk(emb, rows[qid][1], k=5,
                                        exclude_id=qid).collect()]
         assert batch[qid] == single, qid
+
+
+def test_span_dedup_matches_python_model_random(spark):
+    """Randomized pinning: a 6-word vocabulary forces heavy span
+    collisions; the distributed result must equal a serial Python
+    first-occurrence model doc for doc."""
+    import hashlib
+
+    rng = np.random.default_rng(11)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    w = 3
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=int(rng.integers(0, 14)))))
+        for i in range(60)
+    ]
+
+    seen, expect = set(), {}
+    for doc_id, text in rows:
+        toks = [t for t in text.split() if t]
+        spans = [" ".join(toks[i:i + w]) for i in range(0, len(toks), w)]
+        if not spans:
+            continue
+        kept = []
+        for s in spans:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        expect[doc_id] = (
+            len(spans),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    from search_engine_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    got = {
+        r["doc_id"]: (
+            r["n_spans"],
+            r["n_kept"],
+            hashlib.md5(r["clean_text"].encode()).hexdigest(),
+        )
+        for r in span_dedup(docs, w=w).collect()
+    }
+    assert got == expect
