@@ -319,24 +319,50 @@ def curate(
     of dropping documents: duplicate ``span_w``-token spans are removed
     corpus-wide (first writer wins) and a document whose text empties
     out is dropped. Runs after every doc-level decision so filters,
-    dedup, and decontamination all judge the original text."""
+    dedup, and decontamination all judge the original text.
+
+    Report mode rolls a DISK_ONLY persist forward with the counts:
+    without it every per-stage ``count()`` re-executes the whole
+    upstream chain, making an S-stage pipeline cost O(S²) corpus passes
+    (measured: the full pipeline at 501k docs blew a 10-minute budget;
+    with the rolling persist it finishes in ~3). The previous stage's
+    cache is released as soon as the next stage materializes, so at
+    most one corpus-sized frame is cached at a time, and the final
+    returned frame keeps its persist until the caller is done (Spark
+    unpersists it with the session at the latest)."""
+    from pyspark import StorageLevel
+
+    _cached = None
+
+    def _count_stage(df: DataFrame, key: str) -> DataFrame:
+        nonlocal _cached
+        if not with_report:
+            return df
+        df = df.persist(StorageLevel.DISK_ONLY)
+        report[key] = df.count()
+        if _cached is not None:
+            _cached.unpersist()
+        _cached = df
+        return df
+
     report = {}
     if with_report:
         report["input"] = docs.count()
 
     out = docs
     if langs:
-        out = out.filter(F.col("lang").isin(list(langs)))
-        if with_report:
-            report["after_lang_filter"] = out.count()
+        out = _count_stage(
+            out.filter(F.col("lang").isin(list(langs))), "after_lang_filter"
+        )
 
     if min_quality > 0.0:
         scored = quality_features(out, text_col)
-        out = scored.filter(F.col("quality_score") >= min_quality).select(
-            *docs.columns
+        out = _count_stage(
+            scored.filter(F.col("quality_score") >= min_quality).select(
+                *docs.columns
+            ),
+            "after_quality_floor",
         )
-        if with_report:
-            report["after_quality_floor"] = out.count()
 
     if max_top_ngram_ratio is not None:
         # Gopher-style repetition cap: drop boilerplate/spam-loop docs
@@ -347,22 +373,22 @@ def curate(
         bad = rep.filter(
             F.col("top_ngram_ratio") > max_top_ngram_ratio
         ).select(id_col)
-        out = out.join(bad, id_col, "left_anti")
-        if with_report:
-            report["after_repetition_filter"] = out.count()
+        out = _count_stage(
+            out.join(bad, id_col, "left_anti"), "after_repetition_filter"
+        )
 
-    out = drop_exact_dups(out, id_col, text_col)
-    if with_report:
-        report["after_exact_dedup"] = out.count()
+    out = _count_stage(
+        drop_exact_dups(out, id_col, text_col), "after_exact_dedup"
+    )
 
     if near_dup_threshold is not None:
         pair_fn = minhash_lsh_pairs if use_lsh else ngram_jaccard_pairs
         pairs = pair_fn(out, n=ngram, threshold=near_dup_threshold,
                         id_col=id_col, text_col=text_col)
         drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        out = out.join(drop, id_col, "left_anti")
-        if with_report:
-            report["after_near_dedup"] = out.count()
+        out = _count_stage(
+            out.join(drop, id_col, "left_anti"), "after_near_dedup"
+        )
 
     if embeddings is not None:
         # semantic near-dup: exact cosine over the (doc_id-keyed)
@@ -382,17 +408,16 @@ def curate(
             n_blocks=embed_n_blocks,
         )
         edrop = epairs.select(F.col("id_b").alias(id_col)).distinct()
-        out = out.join(edrop, id_col, "left_anti")
-        if with_report:
-            report["after_embed_dedup"] = out.count()
+        out = _count_stage(
+            out.join(edrop, id_col, "left_anti"), "after_embed_dedup"
+        )
 
     if benchmark is not None:
         out, _contaminated = decontaminate(
             out, benchmark, n=decontam_ngram, id_col=id_col,
             text_col=text_col, bench_text_col=bench_text_col,
         )
-        if with_report:
-            report["after_decontamination"] = out.count()
+        out = _count_stage(out, "after_decontamination")
 
     if span_w is not None:
         from search_engine_spark.operators.dedup import span_dedup
@@ -419,7 +444,6 @@ def curate(
             .filter(F.length(F.col(text_col)) > 0)
             .select(*docs.columns)
         )
-        if with_report:
-            report["after_span_dedup"] = out.count()
+        out = _count_stage(out, "after_span_dedup")
 
     return out, report
