@@ -524,7 +524,21 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sh = sh_docs.select("id", F.explode("shingles").alias("shingle"))
+    # candidate-restricted verification (same shape as simhash_pairs):
+    # the pair list materializes once (it is pair-sized — this also
+    # keeps the banding self-join from running twice), and the three
+    # verify reads explode only the CANDIDATE docs' shingles instead of
+    # the whole corpus three times
+    candidates = candidates.localCheckpoint(eager=True)
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .union(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        sh_docs.join(cand_ids, "id")
+        .select("id", F.explode("shingles").alias("shingle"))
+    )
     verified = _verify_pairs(candidates, sh, threshold)
     # materialize now (pairs output ≪ corpus) so the shingle cache can
     # be released immediately instead of living for the session
