@@ -371,3 +371,32 @@ def test_span_dedup_matches_python_model_random(spark):
         for r in span_dedup(docs, w=w).collect()
     }
     assert got == expect
+
+
+def test_ngram_jaccard_uncapped_and_df_cap_recall(spark, docs):
+    """max_shingle_df=None (uncapped candidate generation) agrees with
+    brute force; an extreme cap of 1 demonstrates the documented
+    semantics — the cap can only lose candidates (recall), never report
+    a wrong Jaccard value."""
+    from search_engine_spark.operators.dedup import ngram_jaccard_pairs
+
+    want = brute_jaccard([(r["doc_id"], r["text"]) for r in docs.collect()])
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                     max_shingle_df=None).collect()
+    }
+    assert set(uncapped) == set(want)
+    for k, v in want.items():
+        assert uncapped[k] == pytest.approx(v)
+
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                     max_shingle_df=1).collect()
+    }
+    # docs 0/2 are identical -> every shared shingle has df >= 2 -> the
+    # pair is invisible to a cap of 1 (recall loss, not a wrong value)
+    assert (0, 2) not in capped
+    for k, v in capped.items():
+        assert v == pytest.approx(want[k])
