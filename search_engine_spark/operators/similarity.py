@@ -343,6 +343,97 @@ class LshIndex:
             scores = scores.filter(F.col("vec_id") != exclude_id)
         return scores.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
+    def query_batch(self, queries: DataFrame, k: int = 10,
+                    probe_hamming: int = 1, exclude_self: bool = False,
+                    q_id_col: str = "q_id",
+                    q_vec_col: str = "q_vec") -> DataFrame:
+        """Many queries through the LSH index in ONE pruned scan (the
+        IVF ``query_batch`` shape): the union of every query's probed
+        (table, bucket) cells becomes one static predicate (partition-
+        prunable at rest), each candidate row carries a uint64 bitmask
+        of which queries probe its cell, and one matmul per Arrow batch
+        scores all queries with non-probing (query, row) pairs masked
+        out — results are identical to one ``query`` call per query.
+        Queries per call are capped at 64 (one bitmask word); batch
+        more by chunking the query set.
+
+        Returns (q_id, vec_id, cos), ties vec_id asc."""
+        if self._sigs is None:
+            self.build()
+        qrows = queries.select(q_id_col, q_vec_col).collect()
+        if not qrows:
+            return self.emb.sparkSession.createDataFrame(
+                [], "q_id long, vec_id long, cos double"
+            )
+        if len(qrows) > 64:
+            raise ValueError("query_batch handles <= 64 queries per call")
+        qids = np.array([r[q_id_col] for r in qrows], dtype=np.int64)
+        qmat = np.stack([_as_unit(r[q_vec_col]) for r in qrows])
+        cell_mask: dict = {}
+        for j in range(len(qids)):
+            for cell in self._query_buckets(qmat[j], probe_hamming):
+                cell_mask[cell] = cell_mask.get(cell, 0) | (1 << j)
+        pred = reduce(
+            lambda a, c: a | c,
+            [
+                (F.col("table") == t) & (F.col("bucket") == b)
+                for t, b in cell_mask
+            ],
+        )
+        # a vector can sit in several probed cells (multiple tables) —
+        # OR its masks together so it appears once with every querying
+        # bit set, instead of emitting duplicate (q_id, vec_id) rows.
+        # The static filter does the partition pruning; the broadcast
+        # join (cells are driver-sized) attaches each cell's bitmask.
+        cells_df = self.emb.sparkSession.createDataFrame(
+            [(t, int(b), int(m)) for (t, b), m in cell_mask.items()],
+            "table int, bucket long, cell_qmask long",
+        )
+        cand = (
+            self._sigs.filter(pred)
+            .join(F.broadcast(cells_df), ["table", "bucket"])
+            .groupBy("vec_id")
+            .agg(
+                F.first("vec").alias("vec"),
+                F.bit_or("cell_qmask").alias("qmask"),
+            )
+        )
+        bc = self.emb.sparkSession.sparkContext.broadcast((qids, qmat))
+
+        schema = T.StructType(
+            [
+                T.StructField("q_id", T.LongType(), False),
+                T.StructField("vec_id", T.LongType(), False),
+                T.StructField("cos", T.DoubleType(), False),
+            ]
+        )
+
+        def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            q_ids, q_mat = bc.value
+            shifts = np.arange(len(q_ids), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                masks = pdf["qmask"].to_numpy(dtype=np.int64)
+                mat = np.array(list(pdf["vec"]), dtype=np.float64)
+                scores = mat @ q_mat.T  # (n, n_q); vecs already unit
+                allowed = ((masks[:, None] >> shifts[None, :]) & 1).astype(bool)
+                scores[~allowed] = -np.inf
+                if exclude_self:
+                    scores[ids[:, None] == q_ids[None, :]] = -np.inf
+                yield _local_topk_frame(ids, scores, q_ids, k)
+
+        local = cand.mapInPandas(fn, schema=schema)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+        return (
+            local.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
 
 # ---------------------------------------------------------------------------
 # IVF ANN

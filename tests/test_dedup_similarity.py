@@ -435,3 +435,35 @@ def test_ivf_query_batch_matches_single_queries(spark):
         assert batch.get(qid, []) == single, qid
     # the planted cluster must surface for query 0
     assert {v for v, _ in batch[0]} >= {1, 2, 3, 4, 5} or len(batch[0]) == 5
+
+
+def test_lsh_query_batch_matches_single_queries(spark):
+    """Batch LSH (union-of-cells scan + per-row query bitmask) returns
+    exactly what one query() call per query returns at the same probe
+    settings."""
+    from search_engine_spark.operators.similarity import LshIndex
+
+    rng = np.random.RandomState(17)
+    vecs = rng.normal(size=(300, 16))
+    for i in range(1, 6):
+        vecs[i] = vecs[0] + 0.05 * rng.normal(size=16)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(8)
+    idx = LshIndex(emb, planes=6, tables=4)
+
+    queries = emb.filter("vec_id in (0, 77, 200)").select(
+        emb.vec_id.alias("q_id"), emb.embedding.alias("q_vec")
+    )
+    batch = {}
+    for r in idx.query_batch(queries, k=5, probe_hamming=1,
+                             exclude_self=True).collect():
+        batch.setdefault(r["q_id"], []).append(
+            (r["vec_id"], round(r["cos"], 9))
+        )
+    for qid in (0, 77, 200):
+        single = [(r["vec_id"], round(r["cos"], 9))
+                  for r in idx.query(rows[qid][1], k=5, probe_hamming=1,
+                                     exclude_id=qid).collect()]
+        assert batch.get(qid, []) == single, qid
