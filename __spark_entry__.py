@@ -205,6 +205,41 @@ inter AS (
   GROUP BY 1, 2
 )"""
 
+# quality_features formula, mirrored ONCE (textstats.py) — shared by
+# the quality gate and canonical_pick so the weights/targets live in
+# exactly one SQL copy. Requires a `toks` CTE (_TOKS) in scope.
+# qagg -> token aggregates, qbase -> feature ratios, q -> 6-dp score.
+_QUALITY_CTES = """
+qagg AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(length(term)) AS sum_len,
+         count(DISTINCT term) AS n_distinct
+  FROM toks GROUP BY doc_id
+),
+qbase AS (
+  SELECT d.doc_id,
+         length(d.text) AS n_chars,
+         coalesce(a.n_tokens, 0) AS n_tokens,
+         CASE WHEN coalesce(a.n_tokens, 0) > 0
+              THEN a.sum_len * 1.0 / a.n_tokens ELSE 0.0 END AS avg_tok,
+         CASE WHEN coalesce(a.n_tokens, 0) > 0
+              THEN a.n_distinct * 1.0 / a.n_tokens ELSE 0.0 END AS distinct_ratio,
+         CASE WHEN length(d.text) > 0
+              THEN length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))
+                   * 1.0 / length(d.text) ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN length(d.text) > 0
+              THEN length(regexp_replace(d.text, '[^\\s]', '', 'g'))
+                   * 1.0 / length(d.text) ELSE 0.0 END AS ws_ratio
+  FROM documents d LEFT JOIN qagg a USING (doc_id)
+),
+q AS (
+  SELECT doc_id, round(least(1.0,
+    0.25 * greatest(0.0, 1.0 - abs(avg_tok - 5.5) / 5.5)
+    + 0.25 * distinct_ratio + 0.25 * alpha_ratio
+    + 0.25 * greatest(0.0, 1.0 - abs(ws_ratio - 0.17) / 0.17)), 6) AS q6
+  FROM qbase
+)
+"""
+
 _JACCARD_PAIRS_CAPPED = _SHINGLES + _CAND_CAPPED + """
 SELECT id_a, id_b,
        round(i * 1.0 / (na.n_sh + nb.n_sh - i), 6) AS jaccard
@@ -1152,40 +1187,14 @@ FROM documents d LEFT JOIN sc USING (doc_id)
     )
     # quality_features formula mirrored exactly (see textstats.py)
     quality_sql = (
-        "WITH " + _TOKS + """,
-agg AS (
-  SELECT doc_id, count(*) AS n_tokens, sum(length(term)) AS sum_len,
-         count(DISTINCT term) AS n_distinct
-  FROM toks GROUP BY doc_id
-),
-base AS (
-  SELECT d.doc_id,
-         length(d.text) AS n_chars,
-         coalesce(a.n_tokens, 0) AS n_tokens,
-         CASE WHEN coalesce(a.n_tokens, 0) > 0
-              THEN a.sum_len * 1.0 / a.n_tokens ELSE 0.0 END AS avg_tok,
-         CASE WHEN coalesce(a.n_tokens, 0) > 0
-              THEN a.n_distinct * 1.0 / a.n_tokens ELSE 0.0 END AS distinct_ratio,
-         CASE WHEN length(d.text) > 0
-              THEN length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))
-                   * 1.0 / length(d.text) ELSE 0.0 END AS alpha_ratio,
-         CASE WHEN length(d.text) > 0
-              THEN length(regexp_replace(d.text, '[^\\s]', '', 'g'))
-                   * 1.0 / length(d.text) ELSE 0.0 END AS ws_ratio
-  FROM documents d LEFT JOIN agg a USING (doc_id)
-)
-SELECT doc_id,
-       CAST(n_chars AS BIGINT) AS q_n_chars,
-       CAST(n_tokens AS BIGINT) AS q_n_tokens,
-       round(avg_tok, 6) AS q_avg_token_len,
-       round(distinct_ratio, 6) AS q_distinct_ratio,
-       round(least(1.0,
-         0.25 * greatest(0.0, 1.0 - abs(avg_tok - 5.5) / 5.5)
-         + 0.25 * distinct_ratio
-         + 0.25 * alpha_ratio
-         + 0.25 * greatest(0.0, 1.0 - abs(ws_ratio - 0.17) / 0.17)), 6)
-         AS quality_score
-FROM base
+        "WITH " + _TOKS + "," + _QUALITY_CTES + """
+SELECT b.doc_id,
+       CAST(b.n_chars AS BIGINT) AS q_n_chars,
+       CAST(b.n_tokens AS BIGINT) AS q_n_tokens,
+       round(b.avg_tok, 6) AS q_avg_token_len,
+       round(b.distinct_ratio, 6) AS q_distinct_ratio,
+       q.q6 AS quality_score
+FROM qbase b JOIN q USING (doc_id)
 """
     )
     out = {
@@ -1665,33 +1674,7 @@ reach(node, lbl) AS (
   SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
 ),
 comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
-""" + _TOKS.strip() + """,
-qagg AS (
-  SELECT doc_id, count(*) AS n_tokens, sum(length(term)) AS sum_len,
-         count(DISTINCT term) AS n_distinct
-  FROM toks GROUP BY doc_id
-),
-qbase AS (
-  SELECT d.doc_id,
-         CASE WHEN coalesce(a.n_tokens, 0) > 0
-              THEN a.sum_len * 1.0 / a.n_tokens ELSE 0.0 END AS avg_tok,
-         CASE WHEN coalesce(a.n_tokens, 0) > 0
-              THEN a.n_distinct * 1.0 / a.n_tokens ELSE 0.0 END AS distinct_ratio,
-         CASE WHEN length(d.text) > 0
-              THEN length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))
-                   * 1.0 / length(d.text) ELSE 0.0 END AS alpha_ratio,
-         CASE WHEN length(d.text) > 0
-              THEN length(regexp_replace(d.text, '[^\\s]', '', 'g'))
-                   * 1.0 / length(d.text) ELSE 0.0 END AS ws_ratio
-  FROM documents d LEFT JOIN qagg a USING (doc_id)
-),
-q AS (
-  SELECT doc_id, round(least(1.0,
-    0.25 * greatest(0.0, 1.0 - abs(avg_tok - 5.5) / 5.5)
-    + 0.25 * distinct_ratio + 0.25 * alpha_ratio
-    + 0.25 * greatest(0.0, 1.0 - abs(ws_ratio - 0.17) / 0.17)), 6) AS q6
-  FROM qbase
-),
+""" + _TOKS.strip() + "," + _QUALITY_CTES + """,
 m AS (SELECT c.component, c.doc_id, q.q6 FROM comp c JOIN q USING (doc_id))
 SELECT component::BIGINT AS component, doc_id AS keep_id,
        q6 AS best_quality, n_members

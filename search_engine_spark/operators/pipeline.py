@@ -95,11 +95,16 @@ def hash_sample(
     bit-identical everywhere — the DuckDB oracle computes the same
     predicate), which is what a training-data pipeline needs to carve
     stable held-out slices. Pure column expressions — no UDF, no
-    shuffle; the predicate pushes into the scan."""
+    shuffle; the predicate pushes into the scan.
+
+    The threshold is ``round(rate * buckets)`` — the SAME rule as
+    :func:`mix_sources`, so the two functions carve identical subsets
+    at equal rates (plain ``int()`` truncation differs at rates whose
+    float product lands just under an integer, e.g. 0.3)."""
     h = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
-    return docs.filter(h % buckets < int(rate * buckets))
+    return docs.filter(h % buckets < int(round(rate * buckets)))
 
 
 def mix_sources(
@@ -319,7 +324,10 @@ def curate(
     of dropping documents: duplicate ``span_w``-token spans are removed
     corpus-wide (first writer wins) and a document whose text empties
     out is dropped. Runs after every doc-level decision so filters,
-    dedup, and decontamination all judge the original text.
+    dedup, and decontamination all judge the original text. Only
+    documents that actually lost a span are rewritten (the rebuilt text
+    is the token stream — lossy for unnormalized input); every other
+    document passes through byte-identical.
 
     Report mode rolls a DISK_ONLY persist forward with the counts:
     without it every per-stage ``count()`` re-executes the whole
@@ -427,18 +435,24 @@ def curate(
         out = (
             out.join(
                 cleaned.select(
-                    F.col("doc_id").alias(id_col), "n_kept", "clean_text"
+                    F.col("doc_id").alias(id_col),
+                    "n_spans", "n_kept", "clean_text",
                 ),
                 id_col,
                 "left",
             )
-            # docs that produced no spans (no 2..50-char tokens) keep
-            # their original text; span-producing docs take the
-            # cleaned join; fully-duplicated docs empty out and drop
+            # Only docs that actually LOST spans are rewritten — the
+            # reconstruction re-joins tokens_col output, which is
+            # lossy for unnormalized text (lowercase, punctuation and
+            # 1-char words dropped), so an untouched document must
+            # pass through byte-identical. Fully-duplicated docs empty
+            # out and drop.
             .withColumn(
                 text_col,
                 F.when(
-                    F.col("n_kept").isNotNull(), F.col("clean_text")
+                    F.col("n_kept").isNotNull()
+                    & (F.col("n_kept") < F.col("n_spans")),
+                    F.col("clean_text"),
                 ).otherwise(F.col(text_col)),
             )
             .filter(F.length(F.col(text_col)) > 0)

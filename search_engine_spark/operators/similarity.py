@@ -81,16 +81,20 @@ def cosine_topk(emb: DataFrame, query_vec: Sequence[float], k: int = 10,
 
 def _local_topk_frame(ids: np.ndarray, scores: np.ndarray,
                       q_ids: np.ndarray, k: int) -> pd.DataFrame:
-    """Per-query local top-k over one batch's (n, n_q) score matrix:
-    argpartition then exact sort of just the k survivors; -inf scores
-    (masked rows) never emit. Shared by the brute and IVF batch paths."""
+    """Per-query local top-k over one batch's (n, n_q) score matrix;
+    -inf scores (masked rows) never emit. Shared by the brute, LSH, and
+    IVF batch paths.
+
+    The selection is a full (score desc, id asc) lexsort, NOT a plain
+    argpartition on scores: with exact score ties straddling the local
+    k-th boundary (duplicate embeddings — precisely what a dedup corpus
+    contains) argpartition keeps an arbitrary tied row, which would
+    make batch results diverge from the single-query orderBy(cos desc,
+    vec_id asc) contract."""
     top = min(k, len(ids))
-    part = np.argpartition(-scores, top - 1, axis=0)[:top]  # (k, n_q)
     out_q, out_id, out_cos = [], [], []
     for j in range(len(q_ids)):
-        rows = part[:, j]
-        order = np.lexsort((ids[rows], -scores[rows, j]))
-        sel = rows[order]
+        sel = np.lexsort((ids, -scores[:, j]))[:top]
         keep = np.isfinite(scores[sel, j])
         out_q.append(np.full(int(keep.sum()), q_ids[j], dtype=np.int64))
         out_id.append(ids[sel][keep])
@@ -385,8 +389,14 @@ class LshIndex:
         # bit set, instead of emitting duplicate (q_id, vec_id) rows.
         # The static filter does the partition pruning; the broadcast
         # join (cells are driver-sized) attaches each cell's bitmask.
+        # bit 63 (the 64th query) exceeds LongType as an unsigned int —
+        # wrap to signed two's-complement; numpy's arithmetic shifts on
+        # int64 still extract every bit correctly on the executor side
+        def _signed64(m: int) -> int:
+            return m - (1 << 64) if m >= (1 << 63) else m
+
         cells_df = self.emb.sparkSession.createDataFrame(
-            [(t, int(b), int(m)) for (t, b), m in cell_mask.items()],
+            [(t, int(b), _signed64(int(m))) for (t, b), m in cell_mask.items()],
             "table int, bucket long, cell_qmask long",
         )
         cand = (

@@ -467,3 +467,56 @@ def test_lsh_query_batch_matches_single_queries(spark):
                   for r in idx.query(rows[qid][1], k=5, probe_hamming=1,
                                      exclude_id=qid).collect()]
         assert batch.get(qid, []) == single, qid
+
+
+def test_cosine_topk_batch_tie_breaks_by_vec_id(spark):
+    """Exact score ties at the local top-k boundary (duplicate
+    embeddings) must resolve vec_id-ascending, matching the
+    single-query orderBy contract."""
+    from search_engine_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_batch,
+    )
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(5, v), (3, v), (9, w)],  # ids 5 and 3 are exact duplicates
+        "vec_id long, embedding array<double>",
+    ).repartition(1)
+    queries = spark.createDataFrame(
+        [(100, v)], "q_id long, q_vec array<double>"
+    )
+    got = [(r["vec_id"], r["cos"])
+           for r in cosine_topk_batch(emb, queries, k=1).collect()]
+    want = [(r["vec_id"], r["cos"])
+            for r in cosine_topk(emb, v, k=1).collect()]
+    assert got == want
+    assert got[0][0] == 3  # lower id wins the tie
+
+
+def test_lsh_query_batch_64_queries(spark):
+    """The documented 64-query maximum must work: query index 63 sets
+    bitmask bit 63, which needs the signed two's-complement wrap to fit
+    LongType."""
+    from search_engine_spark.operators.similarity import LshIndex
+
+    rng = np.random.RandomState(23)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = LshIndex(emb, planes=4, tables=2)
+
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(64)], "q_id long, q_vec array<double>"
+    )
+    batch = {}
+    for r in idx.query_batch(queries, k=3, probe_hamming=1,
+                             exclude_self=True).collect():
+        batch.setdefault(r["q_id"], []).append(
+            (r["vec_id"], round(r["cos"], 9))
+        )
+    for qid in (0, 63):  # bit 0 and the sign bit
+        single = [(r["vec_id"], round(r["cos"], 9))
+                  for r in idx.query(rows[qid][1], k=3, probe_hamming=1,
+                                     exclude_id=qid).collect()]
+        assert batch.get(qid, []) == single, qid
