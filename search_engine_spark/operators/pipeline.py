@@ -203,6 +203,38 @@ def pack_sequences(
     )
 
 
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    max_tokens: int,
+    shard_seqs: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int = 64,
+) -> DataFrame:
+    """The curation pipeline's sink: pack documents into fixed-length
+    sequences (:func:`pack_sequences`) and write
+    ``(doc_id, text, n_tokens, seq_id, seq_offset, shard)`` as parquet
+    ``partitionBy("shard")`` with ``shard = seq_id // shard_seqs`` —
+    consecutive sequences land in the same directory, so a trainer
+    reading shard k gets a contiguous token stream and a resumable
+    job's "start from shard k" prunes the scan to one directory
+    (PartitionFilters, same at-rest idiom as the LSH/IVF indexes).
+
+    Returns the frame that was written (re-read it with
+    ``spark.read.parquet(out_dir)``)."""
+    packed = pack_sequences(docs, max_tokens, id_col, text_col, partitions)
+    out = (
+        docs.select(id_col, text_col)
+        .join(packed, id_col)
+        .withColumn(
+            "shard", (F.col("seq_id") / shard_seqs).cast("long")
+        )
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    return out
+
+
 def deterministic_shuffle(
     docs: DataFrame,
     seed: int = 0,

@@ -276,3 +276,39 @@ def test_deterministic_shuffle_is_reproducible_permutation(spark):
     assert r1 == r1b
     assert r1 != r2
     assert r1 != {i: i for i in range(100)}
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    """The packed-shard sink writes shard=seq_id//shard_seqs parquet
+    partitions; a shard filter prunes to one directory and the
+    re-read content matches pack_sequences exactly."""
+    import os
+
+    from search_engine_spark.operators.pipeline import (
+        pack_sequences,
+        write_training_shards,
+    )
+
+    rows = [(i, " ".join(["tok"] * (i % 7 + 1))) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, max_tokens=10, shard_seqs=4,
+                          partitions=4)
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(dirs) >= 2  # the shard split actually happened
+
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    expect = {r["doc_id"]: (r["seq_id"], r["seq_offset"])
+              for r in pack_sequences(docs, max_tokens=10,
+                                      partitions=4).collect()}
+    got = {r["doc_id"]: (r["seq_id"], r["seq_offset"])
+           for r in back.collect()}
+    assert got == expect
+    for r in back.collect():
+        assert r["shard"] == r["seq_id"] // 4
+
+    pruned = back.filter(F.col("shard") == 0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan, plan
