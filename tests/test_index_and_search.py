@@ -366,3 +366,54 @@ def test_single_term_pruning_keeps_theta_ties(spark, tmp_path):
     ]
     assert want == [2, 0]
     assert got == want
+
+
+def test_filtered_search_prunes_blocks(spark, tmp_path):
+    """Filter-aware block-max pruning (VERDICT r3 #1): a meta_filter
+    query above wand_min_blocks must match the hand-filtered full-eval
+    truth AND decode strictly fewer blocks — θ comes from a phase 1
+    semi-joined with the allowed set (a lower bound on the k-th best
+    FILTERED score), not from the unfiltered universe. Covers all three
+    θ paths: single-term, flat-OR, mixed tree."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(30):
+        # half ru / half en — the filter keeps 15 of the top-tf docs
+        rows.append(
+            (f"http://a/{i:04d}", "aa bb " * 5, "ru" if i % 2 == 0 else "en")
+        )
+    filler = " ".join(f"w{j:02d}" for j in range(40))
+    for i in range(200):
+        rows.append((f"http://b/{i:04d}", "bb " + filler, "ru"))
+    pages = spark.createDataFrame(
+        [(u, None, None, t, l) for u, t, l in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    cfg = EngineConfig(index_partitions=4, block_size=4, wand_min_blocks=2)
+    out = str(tmp_path / "idx")
+    build_index(spark, pages, out, cfg)
+    eng = SearchEngine(spark, out, cache=False)
+    eng.wand_debug = True
+    pred = F.col("lang") == "ru"
+    allowed = [r["doc_id"] for r in eng.docmeta.filter(pred).collect()]
+
+    for q in ("bb", "aa || bb", "(aa && bb) || aa"):
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in eng.search(
+                q, 5, with_meta=False, meta_filter=pred
+            ).collect()
+        ]
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in eng.scores_df(q)
+            .filter(F.col("doc_id").isin(allowed))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(5)
+            .collect()
+        ]
+        assert got == want, q
+        st = eng._last_wand_stats
+        assert st["theta"] is not None, (q, st)
+        assert 0 < st["decoded_blocks"] < st["total_blocks"], (q, st)
