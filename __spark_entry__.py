@@ -810,6 +810,16 @@ def _q_pack_seqs(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), max_tokens=100)
 
 
+def _q_pack_rows(spark, sf_dir):
+    """Exploded sequence packing (one row per (sequence, document)
+    slice): pipeline.pack_rows — every full sequence holds exactly
+    max_tokens tokens; a doc ending exactly on a boundary emits no
+    empty extra row (ADVICE r3 end-bound rule)."""
+    from search_engine_spark.operators.pipeline import pack_rows
+
+    return pack_rows(_docs(spark, sf_dir), max_tokens=100)
+
+
 def _q_curate(spark, sf_dir):
     from search_engine_spark.operators.pipeline import curate
 
@@ -1112,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sources": _q_mix_sources,
         "canonical_pick": _q_canonical_pick,
         "pack_seqs": _q_pack_seqs,
+        "pack_rows": _q_pack_rows,
         "shuffle_rank": _q_shuffle_rank,
         "curate": _q_curate,
         "curate_embed": _q_curate_embed,
@@ -1634,6 +1645,34 @@ FROM documents
 """,
         # concatenate-then-chunk packing: exclusive running token total
         # in doc_id order, cut every 100 tokens
+        "pack_rows": "WITH " + _TOKS.strip() + """,
+pern AS (
+  SELECT d.doc_id, coalesce(t.n, 0) AS n
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t
+  USING (doc_id)
+),
+c AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS before
+  FROM pern
+),
+e AS (
+  SELECT doc_id, n, before,
+         unnest(generate_series((before // 100)::BIGINT,
+                                ((before + n - 1) // 100)::BIGINT)) AS seq
+  FROM c WHERE n > 0
+)
+SELECT seq::BIGINT AS seq_id, doc_id,
+       greatest(0, seq*100 - before)::BIGINT AS token_start,
+       (least(n, (seq+1)*100 - before)
+        - greatest(0, seq*100 - before))::BIGINT AS token_len,
+       (before + greatest(0, seq*100 - before) - seq*100)::BIGINT
+         AS seq_offset
+FROM e
+""",
         "pack_seqs": "WITH " + _TOKS.strip() + """,
 pern AS (
   SELECT d.doc_id, coalesce(t.n, 0) AS n

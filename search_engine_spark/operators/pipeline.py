@@ -178,7 +178,12 @@ def pack_sequences(
     ``(doc_id, n_tokens, seq_id, seq_offset)`` — the sequence its first
     token lands in and the offset within it. A consumer emitting actual
     training rows explodes each doc over ``range(seq_id,
-    (cum_before + n_tokens) // max_tokens + 1)``.
+    (cum_before + max(n_tokens, 1) - 1) // max_tokens + 1)`` — i.e. up
+    to the sequence of the doc's LAST token; the naive
+    ``(cum_before + n_tokens) // max_tokens`` end bound is off by one
+    when a document ends exactly on a sequence boundary (or is empty),
+    emitting a sequence containing none of its tokens (ADVICE r3).
+    :func:`pack_rows` implements exactly this explode.
 
     Scale: the global running total comes from
     index_build.global_prefix_sum — range-partition on id + two-pass
@@ -200,6 +205,57 @@ def pack_sequences(
         "n_tokens",
         F.floor(F.col("_before") / max_tokens).cast("long").alias("seq_id"),
         (F.col("_before") % max_tokens).cast("long").alias("seq_offset"),
+    )
+
+
+def pack_rows(
+    docs: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int = 64,
+) -> DataFrame:
+    """The exploded form of :func:`pack_sequences` (VERDICT r3 #5): one
+    row per (sequence, document) slice —
+
+    ``(seq_id, doc_id, token_start, token_len, seq_offset)``
+
+    where ``token_start``/``token_len`` slice the DOCUMENT's token
+    array and ``seq_offset`` is where the slice begins within the
+    sequence. A trainer materializes sequence s by concatenating its
+    rows' token slices in seq_offset order; every full sequence holds
+    exactly ``max_tokens`` tokens. Documents with 0 tokens emit no
+    rows; a document straddling k boundaries emits k+1 rows.
+
+    Scale: pack_sequences' two-pass prefix sum plus one explode over
+    ``sequence(first_seq, last_seq)`` — per-doc output is
+    ceil(n_tokens/max_tokens)+1 rows, no window, no driver collect."""
+    p = pack_sequences(docs, max_tokens, id_col, text_col, partitions)
+    M = F.lit(int(max_tokens))
+    b = (F.col("seq_id") * M + F.col("seq_offset")).alias("_b")
+    # last sequence = the one holding the doc's LAST token (the +n//M
+    # end bound over-runs by one sequence when a doc ends exactly on a
+    # boundary — ADVICE r3)
+    last = F.floor((b + F.col("n_tokens") - 1) / M).cast("long")
+    start_in_doc = F.greatest(F.lit(0).cast("long"), F.col("seq") * M - F.col("_b"))
+    end_in_doc = F.least(F.col("n_tokens"), (F.col("seq") + 1) * M - F.col("_b"))
+    return (
+        p.filter(F.col("n_tokens") > 0)
+        .select(
+            id_col,
+            "n_tokens",
+            b,
+            F.explode(F.sequence(F.col("seq_id"), last)).alias("seq"),
+        )
+        .select(
+            F.col("seq").cast("long").alias("seq_id"),
+            id_col,
+            start_in_doc.cast("long").alias("token_start"),
+            (end_in_doc - start_in_doc).cast("long").alias("token_len"),
+            (F.col("_b") + start_in_doc - F.col("seq") * M)
+            .cast("long")
+            .alias("seq_offset"),
+        )
     )
 
 
@@ -478,16 +534,24 @@ def curate(
             # lossy for unnormalized text (lowercase, punctuation and
             # 1-char words dropped), so an untouched document must
             # pass through byte-identical. Fully-duplicated docs empty
-            # out and drop.
+            # out and drop — but ONLY rewritten docs are subject to
+            # the emptiness drop (ADVICE r3): a doc whose ORIGINAL
+            # text was empty is untouched by span cleaning and passes
+            # through, same as the pipeline without span_w.
+            .withColumn(
+                "_rewritten",
+                F.col("n_kept").isNotNull()
+                & (F.col("n_kept") < F.col("n_spans")),
+            )
             .withColumn(
                 text_col,
-                F.when(
-                    F.col("n_kept").isNotNull()
-                    & (F.col("n_kept") < F.col("n_spans")),
-                    F.col("clean_text"),
-                ).otherwise(F.col(text_col)),
+                F.when(F.col("_rewritten"), F.col("clean_text")).otherwise(
+                    F.col(text_col)
+                ),
             )
-            .filter(F.length(F.col(text_col)) > 0)
+            .filter(
+                ~F.col("_rewritten") | (F.length(F.col(text_col)) > 0)
+            )
             .select(*docs.columns)
         )
         out = _count_stage(out, "after_span_dedup")

@@ -312,3 +312,65 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     pruned = back.filter(F.col("shard") == 0)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "shard" in plan, plan
+
+
+def test_pack_rows_slices_cover_docs_exactly(spark):
+    """pack_rows (VERDICT r3 #5): per-(seq, doc) slices must tile every
+    document's token array exactly once, every FULL sequence must hold
+    exactly max_tokens tokens, and a doc ending exactly on a sequence
+    boundary must NOT emit an empty extra row (the ADVICE r3 end-bound
+    off-by-one)."""
+    from search_engine_spark.operators.pipeline import pack_rows
+
+    # doc 0: 10 tokens — ends EXACTLY on the seq-0 boundary (the
+    # off-by-one trap); doc 1: 25 tokens — straddles two boundaries;
+    # doc 2: empty — must emit nothing; doc 3: 5 tokens
+    rows = [
+        (0, " ".join(["tok"] * 10)),
+        (1, " ".join(["tok"] * 25)),
+        (2, ""),
+        (3, " ".join(["tok"] * 5)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r["seq_id"], r["doc_id"], r["token_start"], r["token_len"],
+         r["seq_offset"])
+        for r in pack_rows(docs, max_tokens=10, partitions=4).collect()
+    )
+    assert out == [
+        (0, 0, 0, 10, 0),    # doc 0 fills seq 0 exactly — no seq-1 row
+        (1, 1, 0, 10, 0),    # doc 1: tokens 0..9 -> seq 1
+        (2, 1, 10, 10, 0),   #        tokens 10..19 -> seq 2
+        (3, 1, 20, 5, 0),    #        tokens 20..24 -> seq 3 (partial)
+        (3, 3, 0, 5, 5),     # doc 3 continues seq 3 at offset 5
+    ]
+    # every row's slice lies inside its sequence; all token_len > 0
+    for seq_id, _doc, _start, tlen, off in out:
+        assert tlen > 0 and off + tlen <= 10
+    # full sequences (all but the corpus tail) hold exactly max_tokens
+    per_seq = {}
+    for seq_id, _d, _s, tlen, _o in out:
+        per_seq[seq_id] = per_seq.get(seq_id, 0) + tlen
+    last = max(per_seq)
+    assert all(v == 10 for s, v in per_seq.items() if s != last)
+
+
+def test_curate_span_w_keeps_originally_empty_docs(spark):
+    """ADVICE r3: span_w's emptiness drop applies only to REWRITTEN
+    docs — a doc whose ORIGINAL text was already empty is untouched by
+    span cleaning and must survive, matching the same pipeline without
+    span_w."""
+    from search_engine_spark.operators.pipeline import curate
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha bravo charlie delta", "en"),
+            (1, "", "en"),                        # originally empty
+            (2, "charlie delta alpha bravo", "en"),  # empties out -> drop
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out, report = curate(df, near_dup_threshold=None, span_w=2)
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert rows == {0: "alpha bravo charlie delta", 1: ""}
+    assert report["after_span_dedup"] == 2
