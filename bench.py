@@ -41,9 +41,42 @@ def _box_state() -> dict:
         return {}
 
 
+def _wait_for_healthy_window() -> dict:
+    """Retry-until-healthy (VERDICT r3 #7): this box's memory bandwidth
+    is bimodal (~20.5 GB/s healthy vs ~2-7 degraded for stretches), and
+    a bench run in a degraded window understates the code by multiples.
+    Probe the 4-core stream bandwidth; below the threshold, sleep and
+    re-probe until the wait budget runs out, then run anyway with the
+    outcome recorded so the number is auditable.
+
+    Env knobs: SPARK_GRAFT_HEALTHY_BW (GB/s threshold, 0 disables;
+    default 12), SPARK_GRAFT_HEALTHY_WAIT_S (budget; default 300),
+    SPARK_GRAFT_HEALTHY_PROBE_S (re-probe interval; default 45)."""
+    thr = float(os.environ.get("SPARK_GRAFT_HEALTHY_BW", "12"))
+    budget = float(os.environ.get("SPARK_GRAFT_HEALTHY_WAIT_S", "300"))
+    interval = float(os.environ.get("SPARK_GRAFT_HEALTHY_PROBE_S", "45"))
+    if thr <= 0:
+        return {"healthy_wait": "disabled"}
+    t0 = time.time()
+    while True:
+        bw = _box_state().get("stream_bw_4core_total_gb_s", 0.0)
+        waited = round(time.time() - t0, 1)
+        if bw >= thr:
+            return {"healthy_wait": "healthy", "healthy_wait_s": waited,
+                    "healthy_wait_bw": bw}
+        if time.time() - t0 + interval > budget:
+            # all probed windows degraded — run anyway, say so
+            return {"healthy_wait": "timeout", "healthy_wait_s": waited,
+                    "healthy_wait_bw": bw}
+        print(f"[bench] stream bw {bw} GB/s < {thr}; waiting for a "
+              f"healthy window ({waited}/{budget}s)", file=sys.stderr)
+        time.sleep(interval)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    healthy = _wait_for_healthy_window()
     from pyspark.sql import functions as F
 
     from search_engine_spark.config import EngineConfig
@@ -94,12 +127,16 @@ def main() -> None:
         eng.docmeta.count()
         eng.blocks.count()
 
+        # best-of-K (default 2): the microVM block layer / THP
+        # compaction inject one-sided multi-second stalls (CLAUDE.md);
+        # the min of K runs is the documented noise discipline for
+        # this box. SPARK_GRAFT_BENCH_TRIALS raises K for dedicated
+        # variance checks (e.g. the q_or best-of-5 watch, VERDICT r3 #8)
+        trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+
         def bench(name: str, fn) -> None:
-            # best-of-2: the microVM block layer / THP compaction inject
-            # one-sided multi-second stalls (CLAUDE.md); the min of two
-            # runs is the documented noise discipline for this box
             best = None
-            for _ in range(2):
+            for _ in range(trials):
                 t = time.time()
                 fn()
                 dt = time.time() - t
@@ -168,6 +205,11 @@ def main() -> None:
                     # every timing above is hostage to which state it
                     # ran in — record it so the numbers are auditable
                     "box_state": _box_state(),
+                    # the healthy-window gate outcome this run started
+                    # under (VERDICT r3 #7): "healthy" = probe met the
+                    # threshold, "timeout" = every probed window was
+                    # degraded and the run proceeded anyway
+                    **healthy,
                     "metric": "index_docs_per_sec",
                     "value": round(docs_per_sec, 3),
                     "unit": "sec",
