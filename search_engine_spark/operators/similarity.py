@@ -175,6 +175,26 @@ def cosine_topk_batch(emb: DataFrame, queries: DataFrame, k: int = 10,
 # ---------------------------------------------------------------------------
 
 
+def _cells_pred(cells):
+    """(table, bucket) membership as a SHALLOW partition-prunable
+    predicate: buckets grouped into one ``isin`` per table, OR depth =
+    n_tables. The naive per-cell OR chain builds an expression tree as
+    deep as the cell count and overflows the JVM converter stack once
+    a batch probes thousands of cells (measured: 128 queries × 8
+    tables × hamming-1 ≈ 6.6k cells → StackOverflowError); In-lists
+    prune partitions just as well."""
+    by_table: dict = {}
+    for t, b in cells:
+        by_table.setdefault(t, []).append(b)
+    return reduce(
+        lambda a, c: a | c,
+        [
+            (F.col("table") == t) & F.col("bucket").isin(bs)
+            for t, bs in sorted(by_table.items())
+        ],
+    )
+
+
 class LshIndex:
     """Random-hyperplane signature index over an embedding DataFrame.
 
@@ -311,17 +331,12 @@ class LshIndex:
         q = _as_unit(query_vec)
         cells = self._query_buckets(q, probe_hamming)
         spark = self.emb.sparkSession
-        # static OR-of-(table, bucket) predicate rather than a join:
-        # the probed-cell list is driver-sized (tables × probe count),
-        # and a literal predicate statically PRUNES the partitioned
-        # at-rest layout (a join would need runtime DPP to do the same)
-        pred = reduce(
-            lambda a, c: a | c,
-            [
-                (F.col("table") == t) & (F.col("bucket") == b)
-                for t, b in cells
-            ],
-        )
+        # static (table, bucket) membership predicate rather than a
+        # join: the probed-cell list is driver-sized (tables × probe
+        # count), and a literal predicate statically PRUNES the
+        # partitioned at-rest layout (a join would need runtime DPP to
+        # do the same)
+        pred = _cells_pred(cells)
         cand = (
             self._sigs.filter(pred)
             .select("vec_id", "vec")
@@ -395,13 +410,7 @@ class LshIndex:
         for j in range(len(qids)):
             for cell in self._query_buckets(qmat[j], probe_hamming):
                 cell_mask[cell] = cell_mask.get(cell, 0) | (1 << j)
-        pred = reduce(
-            lambda a, c: a | c,
-            [
-                (F.col("table") == t) & (F.col("bucket") == b)
-                for t, b in cell_mask
-            ],
-        )
+        pred = _cells_pred(list(cell_mask))
         # a vector can sit in several probed cells (multiple tables) —
         # OR its masks together so it appears once with every querying
         # bit set, instead of emitting duplicate (q_id, vec_id) rows.

@@ -548,3 +548,18 @@ def test_lsh_query_batch_chunks_past_64_queries(spark):
                   for r in idx.query(rows[qid][1], k=3, probe_hamming=1,
                                      exclude_id=qid).collect()]
         assert batch.get(qid, []) == single, qid
+
+
+def test_cells_pred_scales_to_thousands_of_cells(spark):
+    """The probed-cell predicate must stay SHALLOW: a per-cell OR chain
+    overflows the JVM expression-converter stack once a batch probes
+    thousands of (table, bucket) cells (measured at ~6.6k); the
+    per-table isin grouping keeps depth = n_tables."""
+    from search_engine_spark.operators.similarity import _cells_pred
+
+    df = spark.createDataFrame(
+        [(0, 5, 1)], "table int, bucket long, vec_id long"
+    )
+    cells = [(t, b) for t in range(8) for b in range(1300)]  # 10.4k cells
+    assert df.filter(_cells_pred(cells)).count() == 1
+    assert df.filter(_cells_pred([(3, 7)])).count() == 0
