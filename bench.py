@@ -155,6 +155,15 @@ def main() -> None:
                 "(join && fast) || (slow && !vector)", 10
             ).collect(),
         )
+        # metadata-filtered search — the r3 weak spot: θ now comes from
+        # a filtered phase 1, so this pays the pruned plan + one pushed
+        # docmeta scan instead of a full multi-term block decode
+        bench(
+            "q_filter",
+            lambda: eng.search(
+                "join || vector", 10, meta_filter=F.col("lang") == "de"
+            ).collect(),
+        )
         bench("q_phrase", lambda: eng.search('"table scan"', 10).collect())
         bench(
             "q_mlt", lambda: eng.more_like_this(0, 10).collect()
