@@ -243,6 +243,9 @@ class IncrementalIndexer:
             ),
             "text",
         ).write.mode("overwrite").parquet(os.path.join(seg_dir, "docmeta"))
+        # running corpus token total: search() derives (n, avgdl) from
+        # the state file instead of re-aggregating all docmeta per query
+        batch_len = stats.agg(F.sum("doc_len")).collect()[0][0] or 0
         # url-only seen sidecar, partitioned by url_bucket (overwrite →
         # idempotent on epoch replay like the segment itself)
         docs.select("url").withColumn("url_bucket", bucket_col).write.mode(
@@ -250,6 +253,7 @@ class IncrementalIndexer:
         ).partitionBy("url_bucket").parquet(os.path.join(seg_dir, "seen_urls"))
         docs.unpersist()
         st["next_doc_id"] += int(n)
+        st["total_doc_len"] = int(st.get("total_doc_len", 0)) + int(batch_len)
         st["segments"].append(seg)
         st["all_segments"] = sorted(done | {seg})
         # persist the moduli actually used so a resumed indexer can
@@ -347,13 +351,18 @@ class IncrementalIndexer:
         filter pairs with a driver-computed ``term_bucket ==`` filter
         (VERDICT r3 #6) so the partitioned-at-rest segment postings
         prune to one bucket directory per segment."""
-        self._read_state()  # adopt persisted postings_buckets
+        st = self._read_state()  # adopt persisted postings_buckets
         postings = self.postings()
-        meta = self.docmeta()
-        agg = meta.agg(
-            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
-        ).collect()[0]
-        n, avgdl = float(agg["n"]), float(agg["avgdl"] or 1.0)
+        if st["next_doc_id"] and "total_doc_len" in st:
+            # (n, avgdl) ride the state file — no per-query docmeta
+            # aggregation scan (ids are dense, so n == next_doc_id)
+            n = float(st["next_doc_id"])
+            avgdl = float(st["total_doc_len"]) / n or 1.0
+        else:  # legacy state without the running total
+            agg = self.docmeta().agg(
+                F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+            ).collect()[0]
+            n, avgdl = float(agg["n"]), float(agg["avgdl"] or 1.0)
         k1, b = self.cfg.k1, self.cfg.b
         hits = postings
         if self.postings_buckets:
