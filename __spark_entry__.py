@@ -182,6 +182,59 @@ JOIN shn nb ON nb.doc_id = id_b
 WHERE i * 1.0 / (na.n_sh + nb.n_sh - i) >= 0.8
 """
 
+def _simhash_word_sql(col: str) -> str:
+    """SQL for one 32-bit simhash word over md5-half column ``col``:
+    bit j set iff at least half the doc's shingle hashes set bit j
+    (2*ones >= n — the engine kernel's tie rule)."""
+    terms = [
+        f"((CASE WHEN 2*sum(({col} >> {j}) & 1) >= count(*) "
+        f"THEN 1 ELSE 0 END)::BIGINT << {j})"
+        for j in range(32)
+    ]
+    return "\n   + ".join(terms)
+
+
+# Bit-exact simhash oracle (round 4): reproduces the engine SIGNATURE
+# (md5-half shingle hashes -> per-bit majority vote, two 32-bit words)
+# and checks the engine's actual contract — hamming(sig_a, sig_b) <= k
+# AND exact Jaccard >= t — instead of assuming the pigeonhole bands
+# recall every >=t pair (they guarantee only hamming <= k; organic
+# 0.87-0.92 pairs at sf0.1 exceeded it under the old opaque hash).
+_SIMHASH_PAIRS = _SHINGLES + f""",
+hx AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS hi,
+         CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS lo
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {_simhash_word_sql("lo")} AS w_lo,
+         {_simhash_word_sql("hi")} AS w_hi
+  FROM hx GROUP BY doc_id
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.w_lo, b.w_lo))
+      + bit_count(xor(a.w_hi, b.w_hi)) <= 10
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / (na.n_sh + nb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN shn na ON na.doc_id = id_a
+JOIN shn nb ON nb.doc_id = id_b
+WHERE i * 1.0 / (na.n_sh + nb.n_sh - i) >= 0.8
+"""
+
+
 # df-capped candidate generation mirroring ngram_jaccard_pairs'
 # max_shingle_df default (ADVICE r2: the engine drops shingles above
 # the cap when generating candidates — only there; Jaccard is still
@@ -1451,7 +1504,7 @@ LEFT JOIN (SELECT doc_id, count(*) AS n_kept,
 """,
         "dedup_ngram": _JACCARD_PAIRS_CAPPED,
         "dedup_minhash": _JACCARD_PAIRS,
-        "dedup_simhash": _JACCARD_PAIRS,
+        "dedup_simhash": _SIMHASH_PAIRS,
         # connected components over the same exact-Jaccard pairs via a
         # recursive CTE (min reachable label per node); pairs use the
         # same df-capped candidate generation as the engine's

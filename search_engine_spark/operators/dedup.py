@@ -558,10 +558,37 @@ def simhash_signatures(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     """(id, simhash long, chunks array<long>) — 64-bit simhash over
     n-gram shingle hashes, one Arrow pass (numpy bit-unpack + column
     sum). ``chunks`` pigeonhole keys (the i-th ``64//chunks``-bit slice)
-    are emitted alongside for LSH-style banding."""
-    sh_docs = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles_col(F.col(text_col), n)).alias("shingles"),
+    are emitted alongside for LSH-style banding.
+
+    Shingle hashes are the two 32-bit halves of ``md5(shingle)``,
+    computed JVM-side (VERDICT r4): md5 is bit-identical in every
+    engine, so the DuckDB oracle reproduces the SIGNATURE itself and
+    checks the engine's actual contract — (hamming ≤ k ∧ Jaccard ≥ t)
+    — instead of assuming full recall of an uncapped Jaccard query
+    (the previous pd.util.hash_array family was oracle-opaque; its
+    assumed-full recall broke on organic 0.87-0.92 pairs at sf0.1).
+    The md5 array is bound once per element list and sliced twice —
+    the per-element work is two substrings, not two md5s of the whole
+    tail (the HOF no-CSE trap applies per element only)."""
+    sh_docs = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                shingles_col(F.col(text_col), n)
+            ).alias("shingles"),
+        )
+        .withColumn("hx", F.transform("shingles", lambda s: F.md5(s)))
+        .select(
+            "id",
+            F.transform(
+                "hx",
+                lambda x: F.conv(F.substring(x, 1, 8), 16, 10).cast("long"),
+            ).alias("hi"),
+            F.transform(
+                "hx",
+                lambda x: F.conv(F.substring(x, 9, 8), 16, 10).cast("long"),
+            ).alias("lo"),
+        )
     )
     width = 64 // chunks
     mask = (1 << width) - 1
@@ -574,26 +601,25 @@ def simhash_signatures(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     )
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # batch-vectorized (VERDICT r2 #5): one pd.util.hash_array call
-        # over the batch's flattened shingles (the same SipHash base as
-        # MinHash, replacing a hashlib.md5-per-shingle Python loop) and
-        # ONE unpackbits + add.reduceat per batch instead of a numpy
-        # round-trip per document. Measured: the string-hash kernel is
-        # ~1.2× (hash_array still walks the object array), the per-doc
-        # numpy-call overhead removal is the structural win. The
-        # hash-family change is output-invariant for simhash_pairs:
-        # candidates are exact-Jaccard verified, so only recall can
-        # shift (tests pin it; sf0.1 pair recall rose 207→217).
+        # batch-vectorized (VERDICT r2 #5): ONE unpackbits +
+        # add.reduceat per batch instead of a numpy round-trip per
+        # document; the string hashing itself happened JVM-side (md5
+        # halves), so the kernel only recombines two int columns.
         for pdf in batches:
             n_docs = len(pdf)
-            lens = np.fromiter((len(s) for s in pdf["shingles"]),
+            lens = np.fromiter((len(s) for s in pdf["hi"]),
                                dtype=np.int64, count=n_docs)
-            flat: list = []
-            for s in pdf["shingles"]:
-                flat.extend(s)
+            flat_hi: list = []
+            flat_lo: list = []
+            for h, l in zip(pdf["hi"], pdf["lo"]):
+                flat_hi.extend(h)
+                flat_lo.extend(l)
             out = np.zeros(n_docs, dtype=np.uint64)
-            if flat:
-                hs = _base_hash(flat)  # uint64
+            if flat_hi:
+                hs = (
+                    np.asarray(flat_hi, dtype=np.int64).astype(np.uint64)
+                    << np.uint64(32)
+                ) | np.asarray(flat_lo, dtype=np.int64).astype(np.uint64)
                 bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8),
                                      axis=1, bitorder="little")
                 nonempty = lens > 0

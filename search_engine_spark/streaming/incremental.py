@@ -351,18 +351,29 @@ class IncrementalIndexer:
         filter pairs with a driver-computed ``term_bucket ==`` filter
         (VERDICT r3 #6) so the partitioned-at-rest segment postings
         prune to one bucket directory per segment."""
-        st = self._read_state()  # adopt persisted postings_buckets
+        n, avgdl = self._corpus_stats()  # also adopts persisted buckets
         postings = self.postings()
+        scored = self._term_scores_seg(postings, term, n, avgdl)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _corpus_stats(self) -> tuple:
+        """(n, avgdl) from the state file when present (no per-query
+        docmeta aggregation — ids are dense so n == next_doc_id), else
+        the legacy aggregation scan."""
+        st = self._read_state()
         if st["next_doc_id"] and "total_doc_len" in st:
-            # (n, avgdl) ride the state file — no per-query docmeta
-            # aggregation scan (ids are dense, so n == next_doc_id)
             n = float(st["next_doc_id"])
-            avgdl = float(st["total_doc_len"]) / n or 1.0
-        else:  # legacy state without the running total
-            agg = self.docmeta().agg(
-                F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
-            ).collect()[0]
-            n, avgdl = float(agg["n"]), float(agg["avgdl"] or 1.0)
+            return n, (float(st["total_doc_len"]) / n or 1.0)
+        agg = self.docmeta().agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        return float(agg["n"]), float(agg["avgdl"] or 1.0)
+
+    def _term_scores_seg(self, postings: DataFrame, term: str,
+                         n: float, avgdl: float) -> DataFrame:
+        """One term's (doc_id, score) over the long-form segment
+        postings: bucket-pruned at rest + closed-form BM25 column (the
+        same expression as SearchEngine.more_like_this)."""
         k1, b = self.cfg.k1, self.cfg.b
         hits = postings
         if self.postings_buckets:
@@ -373,7 +384,7 @@ class IncrementalIndexer:
         hits = hits.filter(F.col("term") == term)
         self._last_postings_scan = hits  # plan-shape tests
         dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
-        scored = hits.join(F.broadcast(dfreq), "term").select(
+        return hits.join(F.broadcast(dfreq), "term").select(
             "doc_id",
             (
                 F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
@@ -387,7 +398,54 @@ class IncrementalIndexer:
                 )
             ).alias("score"),
         )
-        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_query(self, query: str, k: int = 10) -> DataFrame:
+        """Boolean BM25 top-k over the live segments — the batch
+        engine's score algebra (AND/OR sum their children's scores,
+        NOT contributes 0 over the doc universe, ties doc_id asc)
+        evaluated relationally on the long-form postings. Each term
+        leaf is a bucket+term-pruned scan; NOT anti-joins the segment
+        docmeta. Phrases need token ordinals evaluated against the
+        compressed block layout — that is the compacted batch engine's
+        job, so they raise here."""
+        from search_engine_spark.plans import query_parser as qp
+
+        ast = qp.parse(query)
+        if ast is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        n, avgdl = self._corpus_stats()
+        postings = self.postings()
+
+        def ev(node):
+            if isinstance(node, qp.Term):
+                return self._term_scores_seg(postings, node.term, n, avgdl)
+            if isinstance(node, qp.Phrase):
+                raise RuntimeError(
+                    "phrase/proximity queries require the compacted "
+                    "block index — run compact() and use SearchEngine"
+                )
+            if isinstance(node, qp.Not):
+                inner = ev(node.child)
+                return (
+                    self.docmeta().select("doc_id")
+                    .join(inner.select("doc_id"), "doc_id", "left_anti")
+                    .withColumn("score", F.lit(0.0))
+                )
+            l = ev(node.left).withColumnRenamed("score", "ls")
+            r = ev(node.right).withColumnRenamed("score", "rs")
+            if isinstance(node, qp.And):
+                return l.join(r, "doc_id", "inner").select(
+                    "doc_id", (F.col("ls") + F.col("rs")).alias("score")
+                )
+            return l.join(r, "doc_id", "full").select(
+                "doc_id",
+                (
+                    F.coalesce(F.col("ls"), F.lit(0.0))
+                    + F.coalesce(F.col("rs"), F.lit(0.0))
+                ).alias("score"),
+            )
+
+        return ev(ast).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def compact(self, out_dir: str):
         """Merge all segments into a batch IndexStore (blocks + dict)."""

@@ -351,3 +351,36 @@ def test_seen_buckets_persisted_across_resume(spark, tmp_path):
     st = ixer2._read_state()
     assert st["seen_buckets"] == 8
     assert st["next_doc_id"] == 8  # dups 2..5 dropped, 6..7 indexed
+
+
+def test_streaming_boolean_search_matches_batch(spark, tmp_path):
+    """search_query evaluates AND/OR/NOT over live segments with the
+    batch engine's score algebra: results must equal the compacted
+    block engine's search() for the same queries."""
+    from search_engine_spark.operators.query_eval import SearchEngine
+
+    landing = str(tmp_path / "landing")
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "compacted")
+    os.makedirs(landing)
+    text = lambda i: (
+        f"слово{i % 4} общий корпус " + "тест " * (i % 5 + 1)
+        + (" редкий" if i % 6 == 0 else "")
+    )
+    _write_batch(spark, landing, _rows(range(0, 8), text))
+    ixer = IncrementalIndexer(spark, idx, CFG)
+    ixer.start(landing).awaitTermination(120)
+    _write_batch(spark, landing, _rows(range(8, 16), text))
+    ixer.start(landing).awaitTermination(120)
+
+    ixer.compact(out)
+    eng = SearchEngine(spark, out)
+    for q in ("тест && общий", "редкий || слово1", "тест && !редкий",
+              "(тест && редкий) || слово2"):
+        inc = [(r["doc_id"], round(r["score"], 9))
+               for r in ixer.search_query(q, 16).collect()]
+        bat = [(r["doc_id"], round(r["score"], 9))
+               for r in eng.search(q, 16, with_meta=False).collect()]
+        assert inc == bat, q
+    with pytest.raises(RuntimeError):
+        ixer.search_query('"общий корпус"', 5)
