@@ -900,10 +900,17 @@ class SearchEngine:
         reference re-runs the whole query for count, boolean_search.cpp:74)."""
         return self.scores_df(query).count()
 
-    def search_batch(self, queries: List[str], k: Optional[int] = None) -> DataFrame:
+    def search_batch(
+        self,
+        queries: List[str],
+        k: Optional[int] = None,
+        meta_filter=None,
+    ) -> DataFrame:
         """V11: union of per-query top-k plans tagged with the query.
         Term stats for ALL queries prefetch in ONE dictionary scan
-        (term_stats memoizes), instead of one lookup job per query."""
+        (term_stats memoizes), instead of one lookup job per query.
+        ``meta_filter`` restricts every query's ranked universe (same
+        semantics as ``search``)."""
         all_terms: List[str] = []
         for q in queries:
             ast = qp.parse(q)
@@ -912,7 +919,8 @@ class SearchEngine:
         if all_terms:
             self.term_stats(list(dict.fromkeys(all_terms)))
         parts = [
-            self.search(q, k, with_meta=False).withColumn("query", F.lit(q))
+            self.search(q, k, with_meta=False, meta_filter=meta_filter)
+            .withColumn("query", F.lit(q))
             for q in queries
         ]
         return reduce(DataFrame.unionByName, parts)
@@ -960,7 +968,11 @@ class SearchEngine:
 
     # -- V14: snippet generation ------------------------------------------
     def search_with_snippets(
-        self, query: str, k: Optional[int] = None, context_words: int = 5
+        self,
+        query: str,
+        k: Optional[int] = None,
+        context_words: int = 5,
+        meta_filter=None,
     ) -> DataFrame:
         """Top-k with highlighted snippets (boolean_search.cpp:310-396):
         tokenize the hit's text, find the first query-term match, emit a
@@ -972,7 +984,7 @@ class SearchEngine:
         ast = qp.parse(query)
         terms = set(qp.extract_terms(ast)) if ast is not None else set()
         cfg = self.cfg
-        hits = self.search(query, k, with_meta=True)
+        hits = self.search(query, k, with_meta=True, meta_filter=meta_filter)
         # text lives in the docs stage only (docmeta is text-free — see
         # index_build.build_docmeta). Push doc_id IN (…) into the docs
         # parquet scan so only the k hits' row groups are read (the

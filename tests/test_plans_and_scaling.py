@@ -127,3 +127,26 @@ def test_scaling_corpus_urls_unique(spark):
     assert df.select("url").distinct().count() == 800
     # and every chunk's rows carry its unique prefix
     assert df.filter(~F.col("url").rlike(r"^https://c\d{4}\.")).count() == 0
+
+
+def test_batch_and_snippet_search_accept_meta_filter(spark, tmp_path):
+    """meta_filter threads through search_batch / search_with_snippets
+    with per-query results equal to filtered search() calls."""
+    out = str(tmp_path / "idx")
+    build_index(spark, pages_df(spark, n_docs=120, seed=5), out,
+                EngineConfig(index_partitions=4))
+    eng = SearchEngine(spark, out, cache=False)
+    pred = F.col("url").startswith("https://example.org/wiki/doc0000")
+    qs = ["математика", "информация || наука"]
+    got = {}
+    for r in eng.search_batch(qs, k=5, meta_filter=pred).collect():
+        got.setdefault(r["query"], []).append((r["doc_id"], round(r["score"], 9)))
+    for q in qs:
+        want = [(r["doc_id"], round(r["score"], 9)) for r in
+                eng.search(q, 5, with_meta=False, meta_filter=pred).collect()]
+        assert got.get(q, []) == want, q
+    snip = eng.search_with_snippets(qs[0], k=5, meta_filter=pred)
+    rows = snip.collect()
+    assert rows and all("snippet" in r.asDict() for r in rows)
+    allowed = {r["doc_id"] for r in eng.docmeta.filter(pred).collect()}
+    assert {r["doc_id"] for r in rows} <= allowed
