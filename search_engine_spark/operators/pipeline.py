@@ -499,7 +499,8 @@ def curate(
         # unpersisted, the whole upstream chain (incl. the near-dup
         # anti-join) re-executes per consumer (VERDICT r3 #4). Report
         # mode already holds a rolling persist; lazy mode pins one
-        # here and releases it with the roll below.
+        # here — it stays cached until the caller's session drops it
+        # (the same lifetime as report mode's final rolled frame).
         from pyspark import StorageLevel
 
         from search_engine_spark.operators.dedup import embedding_pairs_exact
