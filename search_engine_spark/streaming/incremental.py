@@ -13,10 +13,15 @@ module provides the real thing, Lucene-segment style:
   checkpoint guarantees each input file lands in exactly one epoch, so
   restarts neither skip nor double-index (epoch replays overwrite their
   own segment directory — idempotent).
-* ``search`` — BM25 over the accumulated segments as a pure relational
-  plan (the compressed-block path is the batch engine's job).
+* ``search`` / ``search_query`` — BM25 over the accumulated segments
+  as a pure relational plan (single-term and boolean AND/OR/NOT; the
+  compressed-block path and phrases are the batch engine's job).
+  Corpus stats ride the state file; the term scan is term-bucket
+  partition-pruned at rest.
 * ``compact`` — fold all segments through the batch block builder into
   a normal ``IndexStore`` index (the segment → base-index merge).
+  Independently, live segments auto-fold into one base segment past
+  ``segment_compact_after`` so per-query dataset count stays O(1).
 * ``streaming_term_counts`` — watermarked sliding-window term counts
   (the streaming analytics shape: explode → window agg with late-data
   handling).
