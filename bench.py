@@ -59,8 +59,12 @@ def _wait_for_healthy_window() -> dict:
         return {"healthy_wait": "disabled"}
     t0 = time.time()
     while True:
-        bw = _box_state().get("stream_bw_4core_total_gb_s", 0.0)
+        bw = _box_state().get("stream_bw_4core_total_gb_s")
         waited = round(time.time() - t0, 1)
+        if bw is None:
+            # probe unavailable ≠ degraded window (ADVICE r4): without a
+            # reading there is nothing to wait FOR — run now, flagged
+            return {"healthy_wait": "unprobed", "healthy_wait_s": waited}
         if bw >= thr:
             return {"healthy_wait": "healthy", "healthy_wait_s": waited,
                     "healthy_wait_bw": bw}

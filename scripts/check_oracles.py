@@ -5,12 +5,17 @@ oracle_sql() on DuckDB over the same sf dir, compares row count, column
 names, and an order-insensitive value hash (columns sorted by name,
 rows sorted, values stringified). Exit 0 iff all match.
 
-Usage: python scripts/check_oracles.py [sf_dir] [only_query ...]
+Usage: python scripts/check_oracles.py [--json OUT.json] [sf_dir] [only_query ...]
+
+``--json`` writes a per-query artifact (name, wall, rows, hash outcome)
+so every round ships a checked-in full-surface gate record (VERDICT r4
+#8) instead of relying on the driver's 13-query sample.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 import time
@@ -54,8 +59,14 @@ def frame_hash(pdf: pd.DataFrame) -> tuple:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry_mod
     from search_engine_spark.session import build_session
@@ -71,7 +82,7 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    failures, rows_only = [], []
+    failures, rows_only, records = [], [], []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -81,23 +92,37 @@ def main() -> int:
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"[FAIL] {name}: spark error: {e}")
+            records.append({"name": name, "outcome": "spark_error",
+                            "err": str(e)[:300],
+                            "wall_s": round(time.time() - t0, 2)})
             continue
         if name not in oracles:
             rows_only.append(name)
             print(f"[rows-only] {name}: {len(spdf)} rows "
                   f"({time.time()-t0:.1f}s)")
+            records.append({"name": name, "outcome": "rows_only",
+                            "rows": len(spdf),
+                            "wall_s": round(time.time() - t0, 2)})
             continue
         try:
             opdf = con.sql(oracles[name]).df()
         except Exception as e:
             failures.append((name, f"ORACLE ERROR: {e}"))
             print(f"[FAIL] {name}: oracle error: {e}")
+            records.append({"name": name, "outcome": "oracle_error",
+                            "err": str(e)[:300],
+                            "wall_s": round(time.time() - t0, 2)})
             continue
         sh, oh = frame_hash(spdf), frame_hash(opdf)
         ok = sh == oh
         status = "ok" if ok else "MISMATCH"
         print(f"[{status}] {name}: spark={sh} oracle={oh} "
               f"({time.time()-t0:.1f}s)")
+        records.append({"name": name,
+                        "outcome": "ok" if ok else "mismatch",
+                        "rows": sh[0], "hash": sh[2],
+                        "oracle_rows": oh[0], "oracle_hash": oh[2],
+                        "wall_s": round(time.time() - t0, 2)})
         if not ok:
             failures.append((name, f"spark={sh} oracle={oh}"))
             # show a small diff for debugging
@@ -111,6 +136,14 @@ def main() -> int:
             except Exception:
                 pass
     print(f"\n{len(failures)} failures; rows-only: {rows_only}")
+    if json_out:
+        n_ok = sum(1 for r in records if r["outcome"] == "ok")
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(records),
+                       "n_ok": n_ok, "n_rows_only": len(rows_only),
+                       "n_failures": len(failures),
+                       "queries": records}, f, indent=1)
+        print(f"wrote {json_out}: {n_ok}/{len(records)} ok")
     return 1 if failures else 0
 
 

@@ -389,8 +389,13 @@ def _hash_params(num_hashes: int, seed: int) -> np.ndarray:
 
 
 def _base_hash(flat: list) -> np.ndarray:
-    """Stable vectorized 64-bit base hashes: pandas' SipHash with its
-    fixed default key — deterministic across processes and runs."""
+    """Stable vectorized 64-bit base hashes. Pre-hashed integer keys
+    (JVM-side ``xxhash64`` longs — the minhash_lsh_pairs fast path, where
+    shingle strings never cross the Arrow boundary at all) pass through
+    as-is; string shingles fall back to pandas' SipHash with its fixed
+    default key — both deterministic across processes and runs."""
+    if flat and isinstance(flat[0], (int, np.integer)):
+        return np.asarray(flat, dtype=np.int64).view(np.uint64)
     return pd.util.hash_array(np.asarray(flat, dtype=object))  # uint64
 
 
@@ -462,8 +467,12 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     1−(1−0.8⁴)³² ≈ 1−6e-7: recall ~1 at the threshold. Candidates =
     band-bucket groupBy (shuffle keyed on (band, bucket-hash)); the
     verification join is restricted to candidates only. The shingle
-    array is computed once and persisted — signatures and the exact
-    verification both read it; the cache is released before returning
+    array is hashed to 64-bit keys JVM-side, computed once and persisted
+    — signatures and the exact verification both read it (verification
+    Jaccard is over the hashed sets: identical to string Jaccard barring
+    a 64-bit collision inside one compared pair's union, P < 1e-12, and
+    candidate-generator-independent exactly as before); the cache is
+    released before returning
     (the result is materialized eagerly via localCheckpoint, so
     repeated calls don't accumulate cached blocks for the session).
 
@@ -480,9 +489,23 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     # the r2 "regression" was mostly memory-cache wall variance (see
     # CLAUDE.md), and DISK_ONLY lands within noise of the r1
     # leaked-cache shape (22.2 s) while still releasing the cache.
+    # shingles are hashed to 64-bit keys JVM-side (xxhash64) BEFORE the
+    # persist (VERDICT r4 #7): the cached table stores 8-byte longs
+    # instead of ~25-byte strings (~3x smaller write+read), the
+    # signature kernel's Arrow transfer ships int64 columns instead of
+    # every shingle string, the Python SipHash pass disappears, and the
+    # verification join shuffles longs. Exact Jaccard over the hashed
+    # sets equals string-shingle Jaccard unless two distinct shingles in
+    # one compared pair's union collide in 64 bits (P < 1e-12 per pair)
+    # — the candidate-generator-independence invariant is unchanged, and
+    # the uncapped exact-Jaccard oracle stays green (measured).
     sh_docs = docs.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(shingles_col(F.col(text_col), n)).alias("shingles"),
+        F.array_distinct(
+            F.transform(
+                shingles_col(F.col(text_col), n), lambda s: F.xxhash64(s)
+            )
+        ).alias("shingles"),
     ).filter(F.size("shingles") > 0).persist(StorageLevel.DISK_ONLY)
     sh_docs.count()  # materialize once; signatures + verification reuse it
     # the banding self-join consumes sigs on BOTH sides — without a

@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 _SCORE_SCHEMA = T.StructType(
     [
@@ -254,7 +255,11 @@ class LshIndex:
         sigs = self.emb.select(self.id_col, self.vec_col).mapInPandas(
             fn, schema=schema
         )
-        self._sigs = sigs.repartition("table", "bucket").persist()
+        # DISK_ONLY: the memory-columnar cache measured 3-4x wall variance
+        # on multi-GB frames on this box (CLAUDE.md; dedup.py quantifies)
+        self._sigs = sigs.repartition("table", "bucket").persist(
+            StorageLevel.DISK_ONLY
+        )
         return self._sigs
 
     def save(self, path: str) -> None:
@@ -547,7 +552,10 @@ class IvfIndex:
         assigned = self.emb.select(self.id_col, self.vec_col).mapInPandas(
             fn, schema=schema
         )
-        self._assigned = assigned.repartition("cell").persist()
+        # DISK_ONLY for the same wall-variance reason as LshIndex.build
+        self._assigned = assigned.repartition("cell").persist(
+            StorageLevel.DISK_ONLY
+        )
         return self._assigned
 
     def save(self, path: str) -> None:

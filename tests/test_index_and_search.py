@@ -179,6 +179,49 @@ def test_search_batch_tags_queries(built):
     assert tags == set(qs)
 
 
+def test_search_batch_driver_jobs_bounded(spark, built, tmp_path):
+    """VERDICT r4 #5: a B-query batch issues ≤ B + constant driver jobs
+    (one phase-1 score collect per pruned query, plus the term-stats
+    and block-metadata prefetches and the final union collect) — not
+    ~2B (a per-query metadata collect each). Results stay identical to
+    per-query search()."""
+    store, seeded, oracle = built
+    # fresh engine → cold memo caches (the module engine's are warm)
+    eng = SearchEngine(spark, store.dir, cache=False)
+    qs = [
+        "математика",
+        "информация",
+        "число",
+        "математика || число",
+        "информация || алгебра",
+        "(математика || информация) && число",
+    ]
+    sc = spark.sparkContext
+    # AQE materializes every shuffle stage as its own job, which would
+    # make the count meaningless; without it one collect == one job
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("sb_jobs", "search_batch job-count")
+        rows = eng.search_batch(qs, k=5).collect()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    jobs = sc.statusTracker().getJobIdsForGroup("sb_jobs")
+    assert len(jobs) <= len(qs) + 4, (len(jobs), jobs)
+    got = {}
+    for r in rows:
+        got.setdefault(r["query"], []).append(
+            (r["doc_id"], round(r["score"], 9))
+        )
+    for q in qs:
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in seeded.search(q, 5, with_meta=False).collect()
+        ]
+        assert got.get(q, []) == want, q
+
+
 def test_and_block_pruning_rank_identical(built):
     _, engine, oracle = built
     t1, t2 = REFERENCE_QUERY_TERMS[0], REFERENCE_QUERY_TERMS[1]

@@ -113,6 +113,109 @@ def test_snippet_join_pushes_docid_in_filter(spark, tmp_path):
     assert all(r["snippet"] for r in rows)
 
 
+def test_more_like_this_pushes_docid_and_term_filters(spark, tmp_path):
+    """more_like_this (VERDICT r4 #1): the source doc's term set comes
+    from a doc_id-pushed scan of the docs stage — never from
+    postings.filter(doc_id == X), an unpruned full scan of a table
+    sorted by (term, salt, doc_id). The scoring plan's only postings
+    scan carries a pushed In(term, …) predicate, and the term set is
+    identical to the postings-derived one (build-tokenization parity)."""
+    out = str(tmp_path / "idx")
+    build_index(spark, pages_df(spark, n_docs=120, seed=5), out,
+                EngineConfig(index_partitions=4))
+    eng = SearchEngine(spark, out, cache=False)
+    got = eng.more_like_this(7, k=10)
+    rows = got.collect()
+    assert len(rows) == 10
+    # source-doc lookup: doc_id-pushed scan of the docs stage, text only
+    scan_plan = (
+        eng._last_mlt_scan._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EqualTo(doc_id,7)" in scan_plan, scan_plan
+    # the lookup reads (doc_id, text) from the docs stage — a postings
+    # scan would read term/tf columns (plan Location paths truncate, so
+    # assert on ReadSchema instead)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in scan_plan
+    # scoring side: every postings scan carries a pushed term predicate —
+    # no postings scan without one anywhere in the result plan
+    import re
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # postings scans are the ones reading tf (plan Location paths
+    # truncate, so identify scans by ReadSchema)
+    posting_scans = [
+        seg for seg in re.split(r"FileScan parquet", plan)[1:]
+        if "tf:" in seg.split("ReadSchema", 1)[-1][:400]
+    ]
+    assert posting_scans, plan
+    for seg in posting_scans:
+        pushed = seg.split("PushedFilters:", 1)[1][:2000]
+        assert "In(term," in pushed, seg[:800]
+        assert "EqualTo(doc_id," not in pushed
+    # term-set parity: tokenizing the stored text reproduces exactly the
+    # distinct postings terms of the doc (what the old plan computed)
+    want_terms = {
+        r["term"]
+        for r in eng.postings.filter(F.col("doc_id") == 7)
+        .select("term").distinct().collect()
+    }
+    from search_engine_spark.functions.tokenizer import tokenize_text
+
+    text = (
+        eng.store.read_stage(spark, "docs")
+        .filter(F.col("doc_id") == 7).first()["text"]
+    )
+    assert set(tokenize_text(text, eng.cfg)) == want_terms
+
+
+def test_suggest_prefix_pushed_and_dictionary_range_sorted(spark, tmp_path):
+    """VERDICT r4 #6: suggest's startswith predicate is pushed into the
+    dictionary parquet scan, and the dictionary is term-RANGE-partitioned
+    at rest (disjoint per-file term ranges) so that pushdown actually
+    skips row groups via footer min/max."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "idx")
+    # AQE's small-partition coalescing folds this tiny test vocab into
+    # one file (fine — disjointness is trivially true); disable it for
+    # the build so the multi-file range layout is actually exercised
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key)
+    spark.conf.set(coalesce_key, "false")
+    try:
+        build_index(spark, pages_df(spark, n_docs=120, seed=5), out,
+                    EngineConfig(index_partitions=4))
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    eng = SearchEngine(spark, out, cache=False)
+    got = eng.suggest("мате", 10)
+    assert got == sorted(got) and got, got
+    plan = (
+        eng._last_suggest_scan._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "StringStartsWith(term," in plan, plan
+    # at rest: per-file term ranges are disjoint (range partitioning),
+    # which is what makes the pushed predicate prune instead of scan
+    ranges = []
+    for p in sorted(glob.glob(os.path.join(out, "dictionary", "part-*"))):
+        f = pq.ParquetFile(p)
+        if f.metadata.num_rows == 0:
+            continue
+        stats = [
+            f.metadata.row_group(i).column(0).statistics
+            for i in range(f.metadata.num_row_groups)
+        ]
+        ranges.append(
+            (min(s.min for s in stats), max(s.max for s in stats))
+        )
+    assert len(ranges) > 1, "fixture must produce multiple non-empty files"
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+
+
 def test_scaling_corpus_urls_unique(spark):
     from scaling_bench import generate_corpus
     import tempfile

@@ -3,7 +3,6 @@
 import datetime as dt
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 from search_engine_spark.config import EngineConfig
@@ -264,6 +263,91 @@ def test_segment_auto_compaction_and_replay_guard(spark, tmp_path):
     assert ixer.docmeta().count() == 14
 
 
+def test_folded_segments_garbage_collected(spark, tmp_path):
+    """VERDICT r4 #3: folding must not leave dead segment data on disk —
+    after ≥2 folds, only the LIVE segments still hold postings/docmeta,
+    folded sidecars are replaced by their seen_base, and results/ids are
+    exactly what an unbounded history would give."""
+    import glob
+
+    landing = str(tmp_path / "landing")
+    idx = str(tmp_path / "idx")
+    os.makedirs(landing)
+    text = lambda i: f"тау ипсилон doc{i} токен " + "тау " * (i % 3)
+
+    ixer = IncrementalIndexer(spark, idx, CFG, segment_compact_after=2,
+                              seen_compact_after=2)
+    for lo in (0, 4, 8, 12, 16):  # 5 epochs → folds at epoch 3 and 5
+        _write_batch(spark, landing, _rows(range(lo, lo + 4), text))
+        ixer.start(landing).awaitTermination(120)
+    st = ixer._read_state()
+    live = set(st["segments"])
+    assert len(live) == 1 and next(iter(live)).startswith("base_")
+    # at rest: ONLY live segments still have postings/docmeta
+    on_disk = {
+        os.path.basename(os.path.dirname(p))
+        for p in glob.glob(os.path.join(idx, "segments", "*", "postings"))
+    }
+    assert on_disk == live, (on_disk, live)
+    assert {
+        os.path.basename(os.path.dirname(p))
+        for p in glob.glob(os.path.join(idx, "segments", "*", "docmeta"))
+    } == live
+    # sidecars: folded per-segment dirs are gone, the seen_base (plus at
+    # most the post-fold tail) remains and is exactly what state lists
+    sidecars = {
+        os.path.relpath(os.path.dirname(p), idx)
+        for p in glob.glob(os.path.join(idx, "seen", "*", "url_bucket=*"))
+    } | {
+        os.path.relpath(p, idx)
+        for p in glob.glob(os.path.join(idx, "seen_base", "*"))
+    }
+    assert sidecars == set(st["seen_dirs"]), (sidecars, st["seen_dirs"])
+    # correctness unchanged: dense ids, dedup, search
+    assert sorted(r["doc_id"] for r in ixer.docmeta().collect()) == list(
+        range(20)
+    )
+    _write_batch(spark, landing, _rows([0, 1, 20], text))  # 2 dups + 1 new
+    ixer.start(landing).awaitTermination(120)
+    assert ixer._read_state()["next_doc_id"] == 21
+    hits = ixer.search("тау", k=21).collect()
+    assert len(hits) == 21 and hits[0]["score"] >= hits[-1]["score"]
+
+
+def test_legacy_total_doc_len_backfilled_on_resume(spark, tmp_path):
+    """ADVICE r4: resuming over a pre-round-4 state (segments present,
+    no total_doc_len key) must backfill the running token total from the
+    on-disk docmeta ONCE — not seed it from 0, which would understate
+    avgdl and skew every post-resume BM25 score."""
+    import json as _json
+
+    landing = str(tmp_path / "landing")
+    idx = str(tmp_path / "idx")
+    os.makedirs(landing)
+    text = lambda i: f"хи пси doc{i} " + "хи " * (i % 4)
+
+    ixer = IncrementalIndexer(spark, idx, CFG)
+    _write_batch(spark, landing, _rows(range(0, 6), text))
+    ixer.start(landing).awaitTermination(120)
+
+    sp = os.path.join(idx, "stream_state.json")
+    with open(sp) as f:
+        st = _json.load(f)
+    st.pop("total_doc_len")  # simulate the pre-round-4 state shape
+    with open(sp, "w") as f:
+        _json.dump(st, f)
+
+    ixer2 = IncrementalIndexer(spark, idx, CFG)
+    _write_batch(spark, landing, _rows(range(6, 9), text))
+    ixer2.start(landing).awaitTermination(120)
+    st = ixer2._read_state()
+    truth = ixer2.docmeta().agg(F.sum("doc_len")).collect()[0][0]
+    assert st["total_doc_len"] == truth, (st["total_doc_len"], truth)
+    # and the post-resume scores use the true avgdl
+    n, avgdl = ixer2._corpus_stats()
+    assert n == 9 and abs(avgdl - truth / 9.0) < 1e-9
+
+
 def test_segment_postings_term_bucket_pruned(spark, tmp_path):
     """VERDICT r3 #6: segment postings are partitioned by term_bucket at
     rest and search() adds the driver-computed bucket filter, so the
@@ -354,9 +438,10 @@ def test_seen_buckets_persisted_across_resume(spark, tmp_path):
 
 
 def test_streaming_boolean_search_matches_batch(spark, tmp_path):
-    """search_query evaluates AND/OR/NOT over live segments with the
-    batch engine's score algebra: results must equal the compacted
-    block engine's search() for the same queries."""
+    """search_query evaluates AND/OR/NOT plus phrase/proximity leaves
+    over live segments with the batch engine's score algebra: results
+    must equal the compacted block engine's search() for the same
+    queries."""
     from search_engine_spark.operators.query_eval import SearchEngine
 
     landing = str(tmp_path / "landing")
@@ -376,11 +461,15 @@ def test_streaming_boolean_search_matches_batch(spark, tmp_path):
     ixer.compact(out)
     eng = SearchEngine(spark, out)
     for q in ("тест && общий", "редкий || слово1", "тест && !редкий",
-              "(тест && редкий) || слово2"):
+              "(тест && редкий) || слово2",
+              '"общий корпус"', '"общий тест"/2',
+              '"общий корпус" && слово1', '"корпус общий"'):
         inc = [(r["doc_id"], round(r["score"], 9))
                for r in ixer.search_query(q, 16).collect()]
         bat = [(r["doc_id"], round(r["score"], 9))
                for r in eng.search(q, 16, with_meta=False).collect()]
         assert inc == bat, q
-    with pytest.raises(RuntimeError):
-        ixer.search_query('"общий корпус"', 5)
+    # the streaming phrase evaluator really matches ordinals, not bags:
+    # the reversed phrase never occurs in the fixture text
+    assert ixer.search_query('"корпус общий"', 5).count() == 0
+    assert ixer.search_query('"общий корпус"', 5).count() > 0
