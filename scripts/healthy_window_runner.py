@@ -1,0 +1,179 @@
+"""Opportunistic healthy-window measurement runner (VERDICT r4 #2/#7).
+
+This box's memory bandwidth is bimodal (~20.5 GB/s healthy vs ~2-7
+degraded for stretches — CLAUDE.md); every wall-clock number captured
+in a degraded window understates the code by multiples. This runner
+probes the 4-core stream bandwidth (scripts/membw_probe.
+quick_stream_state) on a loop and, whenever a healthy window opens,
+executes the pending measurements SERIALLY (never two Spark jobs at
+once — measurement discipline), re-probing between steps so a window
+that closes mid-suite just parks the remaining steps until the next
+one:
+
+1. ``bench.py`` at sf0.1, best-of-3 — the headline BENCH capture
+   (written to ``BENCH_HEALTHY_r05.json``),
+2. ``scripts/profile_minhash.py`` at sf0.1 — the q_dedup_minhash
+   stage breakdown backing the <6 s goal,
+3. ``scripts/cluster_scaling_bench.py`` — N->4N standalone-cluster
+   evidence (the build path changed this round: build_dictionary adds
+   a vocab-sized range shuffle).
+
+    python scripts/healthy_window_runner.py [--deadline-s 14400]
+        [--threshold 12] [--out-dir /root/repo]
+
+Exits 0 when all steps have run (healthy or not, each records its own
+box_state); a step that ran in a healthy window is never re-run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+import membw_probe  # noqa: E402
+
+
+def probe() -> float:
+    try:
+        return float(
+            membw_probe.quick_stream_state().get(
+                "stream_bw_4core_total_gb_s", 0.0
+            )
+        )
+    except Exception:
+        return 0.0
+
+
+def run_bench(out_dir: str) -> bool:
+    env = dict(os.environ)
+    env.update(
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
+        SPARK_GRAFT_BENCH_TRIALS="3",
+        # the runner just probed healthy; bench re-checks with a short
+        # budget so a window that closed in the gap is still caught
+        SPARK_GRAFT_HEALTHY_WAIT_S="90",
+        SPARK_GRAFT_HEALTHY_PROBE_S="30",
+    )
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=3000, env=env, cwd=REPO,
+    )
+    line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else ""
+    try:
+        rec = json.loads(line)
+    except Exception:
+        print(f"[bench] unparseable output rc={p.returncode}:\n"
+              f"{p.stdout[-2000:]}\n{p.stderr[-2000:]}", flush=True)
+        return False
+    healthy = (
+        rec.get("healthy_wait") == "healthy"
+        or rec.get("box_state", {}).get("stream_bw_4core_total_gb_s", 0.0)
+        >= 12.0
+    )
+    tag = "HEALTHY" if healthy else "degraded"
+    print(f"[bench] {tag}: {line}", flush=True)
+    if healthy:
+        with open(os.path.join(out_dir, "BENCH_HEALTHY_r05.json"), "w") as f:
+            f.write(line + "\n")
+    return healthy
+
+
+def run_minhash(out_dir: str) -> bool:
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "profile_minhash.py"),
+         "/root/testdata/sf0.1"],
+        capture_output=True, text=True, timeout=1800, cwd=REPO,
+    )
+    out = p.stdout.strip()
+    print(f"[minhash] rc={p.returncode}:\n{out[-2000:]}", flush=True)
+    if p.returncode != 0:
+        return False
+    bw = probe()
+    print(f"[minhash] post-run bw={bw:.2f}", flush=True)
+    if "stages_s" in out:
+        with open(os.path.join(out_dir, "BENCH_MINHASH_r05.txt"), "a") as f:
+            f.write(f"bw_after={bw:.2f}\n{out}\n---\n")
+    return bw >= 12.0
+
+
+def run_cluster(out_dir: str) -> bool:
+    p = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "scripts", "cluster_scaling_bench.py"),
+         "--out", os.path.join(out_dir, "BENCH_SCALING_CLUSTER_r5.json")],
+        capture_output=True, text=True, timeout=5400, cwd=REPO,
+    )
+    print(f"[cluster] rc={p.returncode}:\n{p.stdout[-2000:]}\n"
+          f"{p.stderr[-1000:]}", flush=True)
+    try:
+        with open(os.path.join(out_dir, "BENCH_SCALING_CLUSTER_r5.json")) as f:
+            rec = json.load(f)
+    except Exception:
+        return False
+    # healthy iff the best samples' attached stream probes were healthy
+    states = [
+        v.get("box_state", {}).get("stream_bw_4core_total_gb_s", 0.0)
+        for k, v in rec.items()
+        if k.startswith("workers_") and isinstance(v, dict)
+    ]
+    ok = p.returncode == 0 and (not states or min(states) >= 10.0)
+    print(f"[cluster] sample bw states: {states} -> "
+          f"{'HEALTHY' if ok else 'degraded'}", flush=True)
+    return ok
+
+
+STEPS = [("bench", run_bench), ("minhash", run_minhash),
+         ("cluster", run_cluster)]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--deadline-s", type=float, default=14400)
+    ap.add_argument("--threshold", type=float, default=12.0)
+    ap.add_argument("--probe-interval-s", type=float, default=75.0)
+    ap.add_argument("--out-dir", default=REPO)
+    args = ap.parse_args()
+
+    done = {name: False for name, _ in STEPS}
+    t0 = time.time()
+    forced = False
+    while not all(done.values()):
+        left = args.deadline_s - (time.time() - t0)
+        if left <= 0:
+            if forced:
+                break
+            # deadline: run remaining steps once, degraded, so every
+            # artifact exists with an auditable box_state
+            forced = True
+            print("[runner] deadline reached — forcing remaining steps "
+                  "in the current (possibly degraded) window", flush=True)
+        bw = probe()
+        print(f"[runner] t={time.time()-t0:.0f}s bw={bw:.2f} "
+              f"pending={[n for n, d in done.items() if not d]}", flush=True)
+        if bw >= args.threshold or forced:
+            for name, fn in STEPS:
+                if done[name]:
+                    continue
+                try:
+                    ok = fn(args.out_dir)
+                except Exception as e:
+                    print(f"[{name}] crashed: {e}", flush=True)
+                    ok = False
+                done[name] = ok or forced
+                if not ok and not forced:
+                    break  # window closed mid-suite; park the rest
+        if not all(done.values()) and not forced:
+            time.sleep(args.probe_interval_s)
+    print(f"[runner] done: {done}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    main()
