@@ -1114,6 +1114,101 @@ def _q_tpch_revenue(spark, sf_dir):
     )
 
 
+def _md5_long(col) -> "F.Column":
+    """First 8 md5 hex chars as a non-negative int64 — the repo's
+    engine/oracle-shared hash idiom (DuckDB: ('0x'||substr(md5 ..))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _q_crawl_reach(spark, sf_dir):
+    """S1/S4-adjacent crawl surface: bounded-depth BFS reachability
+    (operators/crawl.crawl_frontier — the distributed form of
+    url_manager.py:87-152's deque loop) over a deterministic synthetic
+    link graph: each doc i links to (i*37+11) mod N and to an
+    md5-derived pseudo-random target. Seeds = doc_id % 97 == 0,
+    max_depth = 4; output = (url, min BFS depth)."""
+    from search_engine_spark.operators.crawl import crawl_frontier
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    url = F.format_string("doc://%09d", F.col("doc_id"))
+    e1 = docs.select(
+        url.alias("src"),
+        F.format_string(
+            "doc://%09d", (F.col("doc_id") * 37 + 11) % n
+        ).alias("dst"),
+    )
+    e2 = docs.select(
+        url.alias("src"),
+        F.format_string(
+            "doc://%09d",
+            _md5_long(
+                F.concat(F.lit("e:"), F.col("doc_id").cast("string"))
+            ) % n,
+        ).alias("dst"),
+    )
+    seeds = docs.where(F.col("doc_id") % 97 == 0).select(url.alias("url"))
+    out, _ = crawl_frontier(
+        e1.unionByName(e2), seeds, max_depth=4, normalize=False
+    )
+    return out
+
+
+def _q_robots_allow(spark, sf_dir):
+    """S3: per-domain robots.txt applied distributively
+    (operators/crawl.robots_filter; semantics robots_parser.py:57-144).
+    Pages live at https://{source}.example.org/{h2}/doc{id} (h2 = two
+    md5 hex chars); each domain's robots body is synthesized from the
+    source name and exercises the reference parser's quirks — BadBot's
+    'Disallow: /' (dropped), an Allow line (ignored), an empty
+    Disallow, a bare 'Disallow: /' in the * group (dropped), and a
+    consecutive-User-agent reset (the /h4 rule belongs to zbot only).
+    The effective disallow set for SearchEngineBot is {/h1 (from *),
+    /h2' (agent group)}; any parser deviation flips rows."""
+    from search_engine_spark.operators.crawl import robots_filter
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    sid = F.col("doc_id").cast("string")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/"),
+            F.substring(F.md5(F.concat(F.lit("p:"), sid)), 1, 2),
+            F.lit("/doc"),
+            sid,
+        ).alias("url"),
+    )
+    h = lambda tag: F.substring(  # noqa: E731
+        F.md5(F.concat(F.lit(tag), F.col("source"))), 1, 1
+    )
+    robots = (
+        docs.select("source")
+        .distinct()
+        .select(
+            F.concat(F.col("source"), F.lit(".example.org")).alias("domain"),
+            F.concat(
+                F.lit("# synthetic robots\nUser-agent: BadBot\nDisallow: /\n"
+                      "\nUser-agent: *\nDisallow: /"),
+                h("r1:"),
+                F.lit("\nAllow: /"),
+                h("r3:"),
+                F.lit("\nDisallow: /\nDisallow:\n"
+                      "\nUser-agent: SearchEngineBot\nDisallow: /"),
+                h("r2:"),
+                F.lit("\n\nUser-agent: searchenginebot\nUser-agent: zbot\n"
+                      "Disallow: /"),
+                h("r4:"),
+                F.lit("\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    return robots_filter(pages, robots, annotate=True).select(
+        "doc_id", "url", F.col("robots_allowed").alias("allowed")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1188,6 +1283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_bool": _q_regex_bool,
         "index_valid": _q_index_valid,
         "vocab_growth": _q_vocab_growth,
+        "crawl_reach": _q_crawl_reach,
+        "robots_allow": _q_robots_allow,
         "events_latest": _q_events_latest,
         "events_sessions": _q_events_sessions,
         "tpch_revenue": _q_tpch_revenue,
@@ -1901,6 +1998,43 @@ WHERE regexp_matches(text, 'join (the|a|big)\\s', 'i')
         "index_valid": """
 SELECT true AS ok, 0::BIGINT AS orphans, 0::BIGINT AS df_mismatches,
        0::BIGINT AS block_mismatches, 0::BIGINT AS bad_ranges
+""",
+        "crawl_reach": """
+WITH RECURSIVE
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+edges AS (
+  SELECT printf('doc://%09d', d.doc_id) AS src,
+         printf('doc://%09d', (d.doc_id*37+11) % n.n) AS dst
+  FROM documents d, n
+  UNION ALL
+  SELECT printf('doc://%09d', d.doc_id),
+         printf('doc://%09d',
+                CAST(('0x' || substr(md5('e:' || CAST(d.doc_id AS VARCHAR)),
+                                     1, 8)) AS BIGINT) % n.n)
+  FROM documents d, n
+),
+walk(node, depth) AS (
+  SELECT printf('doc://%09d', doc_id), 0 FROM documents WHERE doc_id % 97 = 0
+  UNION
+  SELECT e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.depth < 4
+)
+SELECT node AS url, MIN(depth)::INT AS depth FROM walk GROUP BY node
+""",
+        "robots_allow": """
+WITH p AS (
+  SELECT doc_id,
+         'https://' || source || '.example.org' AS dom,
+         '/' || substr(md5('p:' || CAST(doc_id AS VARCHAR)), 1, 2)
+             || '/doc' || CAST(doc_id AS VARCHAR) AS path,
+         '/' || substr(md5('r1:' || source), 1, 1) AS d1,
+         '/' || substr(md5('r2:' || source), 1, 1) AS d2
+  FROM documents
+)
+SELECT doc_id, dom || path AS url,
+       NOT (path LIKE d1 || '%' OR path LIKE d2 || '%') AS allowed
+FROM p
 """,
         "events_latest": """
 SELECT user_id, event_id, event_type FROM (
