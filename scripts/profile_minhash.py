@@ -1,10 +1,11 @@
 """Stage-level wall profile of minhash_lsh_pairs at a given sf dir.
 
-Times each materialization boundary of the exact pipeline
-(shingles persist, signature persist, banding self-join+distinct,
-candidate-restricted verify) so optimization effort lands where the
-time actually goes (VERDICT r4 #7). Run alone — never concurrently
-with another Spark job (CLAUDE.md measurement discipline).
+Times each materialization boundary of the exact pipeline (signature
+persist over inline-computed hashed shingles, banding
+self-join+distinct, candidate re-shingle + exact verify) so
+optimization effort lands where the time actually goes (VERDICT r4
+#7). Run alone — never concurrently with another Spark job (CLAUDE.md
+measurement discipline).
 
 Usage: python scripts/profile_minhash.py [sf_dir]
 """
@@ -20,6 +21,7 @@ from pyspark import StorageLevel
 from pyspark.sql import functions as F
 
 from search_engine_spark.operators.dedup import (
+    _fan_out,
     minhash_signatures,
     shingles_col,
     _verify_pairs,
@@ -37,22 +39,18 @@ def main() -> None:
 
     t = {}
     t0 = time.time()
-    sh_docs = docs.select(
+    sh_inline = _fan_out(docs).select(
         F.col("doc_id").alias("id"),
         F.array_distinct(
             F.transform(shingles_col(F.col("text"), n),
                         lambda s: F.xxhash64(s))
         ).alias("shingles"),
-    ).filter(F.size("shingles") > 0).persist(StorageLevel.DISK_ONLY)
-    sh_docs.count()
-    t["1_shingles_persist"] = round(time.time() - t0, 2)
-
-    t0 = time.time()
+    ).filter(F.size("shingles") > 0)
     sigs = minhash_signatures(docs, n, num_hashes, seed, "doc_id", "text",
-                              shingle_docs=sh_docs).persist(
+                              shingle_docs=sh_inline).persist(
         StorageLevel.DISK_ONLY)
     sigs.count()
-    t["2_signatures_persist"] = round(time.time() - t0, 2)
+    t["1_signatures_persist"] = round(time.time() - t0, 2)
 
     t0 = time.time()
     banded = sigs.select(
@@ -88,7 +86,7 @@ def main() -> None:
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     ).localCheckpoint(eager=True)
-    t["3_banding_selfjoin"] = round(time.time() - t0, 2)
+    t["2_banding_selfjoin"] = round(time.time() - t0, 2)
     n_cand = candidates.count()
 
     t0 = time.time()
@@ -97,14 +95,24 @@ def main() -> None:
         .union(candidates.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = (
-        sh_docs.join(cand_ids, "id")
-        .select("id", F.explode("shingles").alias("shingle"))
+    cand_sh = (
+        docs.select(F.col("doc_id").alias("id"), F.col("text").alias("_t"))
+        .join(cand_ids, "id")
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(shingles_col(F.col("_t"), n),
+                                lambda s: F.xxhash64(s))
+                )
+            ).alias("shingle"),
+        )
+        .localCheckpoint(eager=True)
     )
-    out = _verify_pairs(candidates, sh, threshold).localCheckpoint(eager=True)
-    t["4_verify"] = round(time.time() - t0, 2)
+    out = _verify_pairs(candidates, cand_sh, threshold).localCheckpoint(
+        eager=True)
+    t["3_candshingle_verify"] = round(time.time() - t0, 2)
     n_pairs = out.count()
-    sh_docs.unpersist()
     sigs.unpersist()
 
     t["total"] = round(sum(v for k, v in t.items() if k != "total"), 2)

@@ -45,6 +45,24 @@ from search_engine_spark.operators.textstats import shingles_col, tokens_col
 # ---------------------------------------------------------------------------
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition tiny-partition-count inputs up to the session's
+    defaultParallelism before CPU-heavy per-row transforms (shingling,
+    signature kernels). A bench- or test-scale corpus often arrives as
+    ONE parquet row group → one task → the whole pass runs
+    single-threaded on a many-core session (measured: the sf0.1
+    signature pass was 1 task; fanned out it ran 1.5-3x faster even in
+    a degraded-bandwidth window). At warehouse scale the input already
+    has ≫ cores partitions and this is a metadata-only no-op — the
+    check costs no job, and no shuffle is added when partitions ≥
+    parallelism."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Exact content dedup by md5(text): one hash-groupBy shuffle.
@@ -238,7 +256,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     same eager-localCheckpoint contract as minhash_lsh_pairs."""
     from pyspark import StorageLevel
 
-    sh = shingle_table(docs, n, id_col, text_col).persist(
+    sh = shingle_table(_fan_out(docs), n, id_col, text_col).persist(
         StorageLevel.DISK_ONLY
     )
     sh.count()
@@ -467,14 +485,20 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     1−(1−0.8⁴)³² ≈ 1−6e-7: recall ~1 at the threshold. Candidates =
     band-bucket groupBy (shuffle keyed on (band, bucket-hash)); the
     verification join is restricted to candidates only. The shingle
-    array is hashed to 64-bit keys JVM-side, computed once and persisted
-    — signatures and the exact verification both read it (verification
-    Jaccard is over the hashed sets: identical to string Jaccard barring
-    a 64-bit collision inside one compared pair's union, P < 1e-12, and
-    candidate-generator-independent exactly as before); the cache is
-    released before returning
-    (the result is materialized eagerly via localCheckpoint, so
-    repeated calls don't accumulate cached blocks for the session).
+    array is hashed to 64-bit keys JVM-side (verification Jaccard over
+    the hashed sets is identical to string Jaccard barring a 64-bit
+    collision inside one compared pair's union, P < 1e-12, and
+    candidate-generator-independent exactly as before). Shingles are
+    NOT materialized corpus-wide (r5, VERDICT r4 #7 profile): the
+    signature pass consumes them inline (one docs scan), and
+    verification re-shingles only the CANDIDATE docs — join docs to the
+    pair-derived id set BEFORE the shingle transform, then eagerly
+    localCheckpoint that candidate-sized frame so _verify_pairs' three
+    consumers (sizes, side a, side b) read it for free. The old shape
+    paid one full shingle-cache write plus FOUR full cache reads; this
+    one pays two docs scans, one of them shingling only candidates.
+    (The result is materialized eagerly via localCheckpoint, so
+    repeated calls don't accumulate cached blocks for the session.)
 
     Docs with zero shingles (< n tokens) are excluded before banding:
     they can never reach a positive Jaccard threshold, and their
@@ -483,36 +507,34 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     rows = num_hashes // bands
     from pyspark import StorageLevel
 
-    # DISK_ONLY, not the default memory-columnar cache: measured on this
-    # box (VERDICT r2 #3 quantification, best-of-3 at sf0.1) the
-    # memory cache + eager checkpoint ran 29.3 s vs 23.9 s DISK_ONLY —
-    # the r2 "regression" was mostly memory-cache wall variance (see
-    # CLAUDE.md), and DISK_ONLY lands within noise of the r1
-    # leaked-cache shape (22.2 s) while still releasing the cache.
-    # shingles are hashed to 64-bit keys JVM-side (xxhash64) BEFORE the
-    # persist (VERDICT r4 #7): the cached table stores 8-byte longs
-    # instead of ~25-byte strings (~3x smaller write+read), the
-    # signature kernel's Arrow transfer ships int64 columns instead of
-    # every shingle string, the Python SipHash pass disappears, and the
-    # verification join shuffles longs. Exact Jaccard over the hashed
-    # sets equals string-shingle Jaccard unless two distinct shingles in
-    # one compared pair's union collide in 64 bits (P < 1e-12 per pair)
-    # — the candidate-generator-independence invariant is unchanged, and
-    # the uncapped exact-Jaccard oracle stays green (measured).
-    sh_docs = docs.select(
+    # Shingles hashed to 64-bit keys JVM-side (xxhash64, VERDICT r4 #7):
+    # the signature kernel's Arrow transfer ships int64 columns instead
+    # of every shingle string, the Python SipHash pass disappears, and
+    # the verification join shuffles longs. The frame is consumed
+    # INLINE by the signature pass — the r4 corpus-wide DISK_ONLY
+    # persist cost more than it saved once verification became
+    # candidate-restricted (profile: the persist write+count was the
+    # single largest stage; the only other full-table consumer was
+    # verification, which now re-shingles candidates only).
+    # fan out ONLY the signature input: the verify branch below reads
+    # `docs` directly, and inheriting the repartition there would
+    # re-execute the fan-out shuffle a second time (no subplan sharing)
+    sh_inline = _fan_out(docs).select(
         F.col(id_col).alias("id"),
         F.array_distinct(
             F.transform(
                 shingles_col(F.col(text_col), n), lambda s: F.xxhash64(s)
             )
         ).alias("shingles"),
-    ).filter(F.size("shingles") > 0).persist(StorageLevel.DISK_ONLY)
-    sh_docs.count()  # materialize once; signatures + verification reuse it
+    ).filter(F.size("shingles") > 0)
     # the banding self-join consumes sigs on BOTH sides — without a
     # persist the signature Arrow pass runs twice (self-joins duplicate
-    # the subplan; no exchange reuse fires)
+    # the subplan; no exchange reuse fires). DISK_ONLY: the memory-
+    # columnar cache measured 3-4x wall variance on this box (CLAUDE.md,
+    # quantified in the r2->r3 A/B: 29.3 s memory vs 23.9 s DISK_ONLY
+    # best-of-3 at sf0.1).
     sigs = minhash_signatures(docs, n, num_hashes, seed, id_col, text_col,
-                              shingle_docs=sh_docs).persist(
+                              shingle_docs=sh_inline).persist(
         StorageLevel.DISK_ONLY
     )
     banded = sigs.select(
@@ -558,15 +580,32 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
         .union(candidates.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = (
-        sh_docs.join(cand_ids, "id")
-        .select("id", F.explode("shingles").alias("shingle"))
+    # re-shingle ONLY the candidate docs: the join runs BEFORE the
+    # shingle transform so the (expensive) transform touches candidate
+    # rows only, and the eager checkpoint makes _verify_pairs' three
+    # consumers of this frame read a candidate-sized local relation
+    # instead of re-executing anything (no-subplan-sharing, CLAUDE.md)
+    cand_sh = (
+        docs.select(F.col(id_col).alias("id"),
+                    F.col(text_col).alias("_vtext"))
+        .join(cand_ids, "id")
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        shingles_col(F.col("_vtext"), n),
+                        lambda s: F.xxhash64(s),
+                    )
+                )
+            ).alias("shingle"),
+        )
+        .localCheckpoint(eager=True)
     )
-    verified = _verify_pairs(candidates, sh, threshold)
-    # materialize now (pairs output ≪ corpus) so the shingle cache can
-    # be released immediately instead of living for the session
+    verified = _verify_pairs(candidates, cand_sh, threshold)
+    # materialize now (pairs output ≪ corpus) so the signature cache
+    # can be released immediately instead of living for the session
     out = verified.localCheckpoint(eager=True)
-    sh_docs.unpersist()
     sigs.unpersist()
     return out
 
@@ -679,7 +718,9 @@ def simhash_pairs(docs: DataFrame, n: int = 3, hamming_k: int = 6,
     least one chunk; JVM bit_count(xor) filters candidates; optional
     exact-Jaccard verification pins the output to the shared contract."""
     chunks = hamming_k + 1
-    sigs = simhash_signatures(docs, n, id_col, text_col, chunks=chunks)
+    # fan out only the signature input (the verify path reads `docs`)
+    sigs = simhash_signatures(_fan_out(docs), n, id_col, text_col,
+                              chunks=chunks)
     banded = sigs.select(
         "id", "simhash", F.posexplode("chunks").alias("chunk", "key")
     )
