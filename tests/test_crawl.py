@@ -10,6 +10,7 @@ exercising every failure class (robots-blocked, missing-from-store,
 too-short) and the links-only-from-successful-pages rule."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from search_engine_spark.operators.crawl import (
     DEFAULT_USER_AGENT,
@@ -381,3 +382,25 @@ class TestCategorySeeds:
         )
         # lexical order -> C00..C09 kept, C10..C14 beyond the cap
         assert got == ["http://w/c%02d" % i for i in range(10)]
+
+
+class TestPlanShape:
+    def test_robots_filter_broadcasts_compiled_rules(self, spark, robots_df):
+        """The compiled per-domain rules must broadcast (the page side
+        is the corpus); the prefix test is JVM-side, so exactly one
+        Python eval node (the domain-table compile UDF) may appear."""
+        pages = spark.range(200).select(
+            F.concat(
+                F.lit("http://x.org/p"), F.col("id").cast("string")
+            ).alias("url")
+        )
+        out = robots_filter(pages, robots_df)
+        out.collect()  # AQE finalizes the join strategy at runtime
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # keep only the FINAL adaptive plan (the trailing "Initial
+        # Plan" section retains the pre-AQE sort-merge skeleton)
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("BroadcastHashJoin") == 1
+        assert "SortMergeJoin" not in final
+        n_py = final.count("ArrowEvalPython") + final.count("BatchEvalPython")
+        assert n_py == 1
