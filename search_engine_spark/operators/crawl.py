@@ -179,7 +179,12 @@ def compile_robots(
     Parsing runs distributed (Arrow-batched pandas UDF) because the
     domain table at web scale is ~10^8 rows — small next to the page
     table but not driver-side material. The output is what
-    :func:`robots_filter` joins against."""
+    :func:`robots_filter` joins against.
+
+    The input is deduped to ONE row per domain first (min body wins —
+    deterministic, unlike the reference's first-fetch-wins dict cache,
+    robots_parser.py:122-127): duplicate domain rows would otherwise
+    fan out every matching page row through the join."""
     ua = user_agent
 
     @F.pandas_udf("array<string>")
@@ -188,9 +193,13 @@ def compile_robots(
             lambda b: disallow_prefixes(parse_robots_rules(b), ua)
         )
 
-    return robots.select(
-        F.col(domain_col).alias("domain"),
-        _compile(F.col(content_col).cast("string")).alias("disallow"),
+    return (
+        robots.groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.min(F.col(content_col).cast("string")).alias("_body"))
+        .select(
+            "domain",
+            _compile(F.col("_body")).alias("disallow"),
+        )
     )
 
 
@@ -363,9 +372,15 @@ def crawl_frontier(
     }
     frontier = visited.select("url")
     for depth in range(1, max_depth + 1):
-        cand = frontier.join(
-            edges, frontier["url"] == edges["src"], "inner"
-        ).select(F.col("dst").alias("url"))
+        # null dst must be dropped HERE: a null key never matches in
+        # the left_anti join (null == null is not true), so a null row
+        # would be "re-discovered" every wave — inflating the stats and
+        # suppressing the empty-frontier early exit
+        cand = (
+            frontier.join(edges, frontier["url"] == edges["src"], "inner")
+            .select(F.col("dst").alias("url"))
+            .where(F.col("url").isNotNull())
+        )
         if with_stats:
             n_occurrences = cand.count()
         new = (
@@ -469,9 +484,15 @@ def crawl(
         .agg(F.min("html").alias("html"))  # deterministic on collisions
         .persist(StorageLevel.DISK_ONLY)
     )
-    compiled_robots = (
-        compile_robots(robots, user_agent) if robots is not None else None
-    )
+    # Persist the compiled rules too: every wave (twice per wave with
+    # stats) runs an action whose plan contains the parse UDF, and
+    # Spark re-executes it each time without a persist — "compile once"
+    # needs a materialization, not just a shared plan object.
+    compiled_robots = None
+    if robots is not None:
+        compiled_robots = compile_robots(robots, user_agent).persist(
+            StorageLevel.DISK_ONLY
+        )
 
     seeds_df = _as_url_df(spark, seeds)
     frontier = (
@@ -573,6 +594,8 @@ def crawl(
         n_frontier = n_new
 
     store_norm.unpersist()  # every wave frame is localCheckpointed
+    if compiled_robots is not None:
+        compiled_robots.unpersist()
     if collected:
         pages = collected[0]
         for frame in collected[1:]:

@@ -404,3 +404,40 @@ class TestPlanShape:
         assert "SortMergeJoin" not in final
         n_py = final.count("ArrowEvalPython") + final.count("BatchEvalPython")
         assert n_py == 1
+
+
+class TestReviewFindings:
+    def test_null_dst_edges_dropped(self, spark):
+        """A null dst must not be re-discovered every wave: null keys
+        never match in the anti-join, so an unfiltered null row would
+        inflate stats and suppress the empty-frontier early exit."""
+        edges = spark.createDataFrame(
+            [("a", "b"), ("a", None), ("b", None)],
+            "src string, dst string",
+        )
+        out, stats = crawl_frontier(
+            edges, ["a"], max_depth=5, normalize=False, with_stats=True
+        )
+        rows = {r.url: r.depth for r in out.collect()}
+        assert rows == {"a": 0, "b": 1}
+        assert stats["total_discovered"] == 2
+        assert stats["waves"] <= 3
+
+    def test_duplicate_robots_rows_do_not_fan_out(self, spark):
+        """Two robots rows for one domain must not duplicate pages
+        through the join (the compile dedupes to min body per domain)."""
+        pages = spark.createDataFrame(
+            [("http://x.org/a/1",), ("http://x.org/b/1",)], "url string"
+        )
+        robots = spark.createDataFrame(
+            [
+                ("x.org", "User-agent: *\nDisallow: /a"),
+                ("x.org", "User-agent: *\nDisallow: /b"),
+            ],
+            "domain string, robots_txt string",
+        )
+        out = robots_filter(pages, robots).collect()
+        # min body wins -> '/a' disallowed, '/b' allowed, ONE row each
+        assert sorted(r.url for r in out) == ["http://x.org/b/1"]
+        annotated = robots_filter(pages, robots, annotate=True).collect()
+        assert len(annotated) == 2
