@@ -73,6 +73,48 @@ def _decode_score_map(idf: float, k1: float, b: float, avgdl: float):
     return fn
 
 
+def phrase_ordinal_candidates(
+    parts: List[DataFrame], prox: Optional[int]
+) -> DataFrame:
+    """Join per-term ``(doc_id, p{i} positions)`` frames and keep the
+    doc_ids whose token ordinals form the phrase (``prox=None``:
+    exists x in p0 with x+i in p_i for every i) or fall within a
+    ``+prox`` window of the first term (exists x in p0: every p_i has
+    some y with x <= y <= x+prox). All JVM-side — the SINGLE
+    compilation point for the batch engine's ``_phrase_candidates``
+    and the streaming engine's ``_phrase_scores_seg`` (the batch/
+    streaming phrase parity test pins one expression, so it must
+    exist once)."""
+    joined = reduce(lambda a, b: a.join(b, "doc_id"), parts)
+    n_terms = len(parts)
+    if n_terms == 1:
+        return joined.select("doc_id")
+    if prox is None:
+        cond = F.exists(
+            F.col("p0"),
+            lambda x: reduce(
+                lambda acc, i: acc
+                & F.array_contains(F.col(f"p{i}"), x + F.lit(i)),
+                range(1, n_terms),
+                F.lit(True),
+            ),
+        )
+    else:
+        cond = F.exists(
+            F.col("p0"),
+            lambda x: reduce(
+                lambda acc, i: acc
+                & F.exists(
+                    F.col(f"p{i}"),
+                    lambda y: (y >= x) & (y <= x + F.lit(prox)),
+                ),
+                range(1, n_terms),
+                F.lit(True),
+            ),
+        )
+    return joined.filter(cond).select("doc_id")
+
+
 class SearchEngine:
     """Query-side facade over a built index directory."""
 
@@ -299,35 +341,7 @@ class SearchEngine:
                 self.postings.filter(F.col("term") == t)
                 .select("doc_id", F.col("positions").alias(f"p{i}"))
             )
-        joined = reduce(lambda a, b: a.join(b, "doc_id"), parts)
-        if len(terms) == 1:
-            return joined.select("doc_id")
-        if prox is None:
-            # exists x in p0: forall i: (x+i) in p_i   — all JVM-side
-            cond = F.exists(
-                F.col("p0"),
-                lambda x: reduce(
-                    lambda acc, i: acc
-                    & F.array_contains(F.col(f"p{i}"), x + F.lit(i)),
-                    range(1, len(terms)),
-                    F.lit(True),
-                ),
-            )
-        else:
-            # exists x in p0: forall i: exists y in p_i: x <= y <= x+prox
-            cond = F.exists(
-                F.col("p0"),
-                lambda x: reduce(
-                    lambda acc, i: acc
-                    & F.exists(
-                        F.col(f"p{i}"),
-                        lambda y: (y >= x) & (y <= x + F.lit(prox)),
-                    ),
-                    range(1, len(terms)),
-                    F.lit(True),
-                ),
-            )
-        return joined.filter(cond).select("doc_id")
+        return phrase_ordinal_candidates(parts, prox)
 
     # -- conjunctive block pruning ----------------------------------------
     @staticmethod

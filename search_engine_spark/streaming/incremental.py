@@ -489,40 +489,18 @@ class IncrementalIndexer:
                 )
             return hits.filter(F.col("term") == t)
 
+        from search_engine_spark.operators.query_eval import (
+            phrase_ordinal_candidates,
+        )
+
         parts = [
             term_hits(t).select("doc_id", F.col("positions").alias(f"p{i}"))
             for i, t in enumerate(terms)
         ]
-        joined = _reduce(lambda a, b: a.join(b, "doc_id"), parts)
-        if len(terms) == 1:
-            cand = joined.select("doc_id")
-        elif prox is None:
-            cand = joined.filter(
-                F.exists(
-                    F.col("p0"),
-                    lambda x: _reduce(
-                        lambda acc, i: acc
-                        & F.array_contains(F.col(f"p{i}"), x + F.lit(i)),
-                        range(1, len(terms)),
-                        F.lit(True),
-                    ),
-                )
-            ).select("doc_id")
-        else:
-            cand = joined.filter(
-                F.exists(
-                    F.col("p0"),
-                    lambda x: _reduce(
-                        lambda acc, i: acc
-                        & F.exists(
-                            F.col(f"p{i}"),
-                            lambda y: (y >= x) & (y <= x + F.lit(prox)),
-                        ),
-                        range(1, len(terms)),
-                        F.lit(True),
-                    ),
-                )
-            ).select("doc_id")
+        # the ordinal condition compiles in ONE place, shared with the
+        # batch engine — only the per-term frame source (bucket+term
+        # pruned segment scans) differs here
+        cand = phrase_ordinal_candidates(parts, prox)
         score_parts = [
             self._term_scores_seg(postings, t, n, avgdl).withColumnRenamed(
                 "score", "s"
