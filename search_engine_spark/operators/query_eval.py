@@ -82,9 +82,12 @@ def phrase_ordinal_candidates(
     ``+prox`` window of the first term (exists x in p0: every p_i has
     some y with x <= y <= x+prox). All JVM-side — the SINGLE
     compilation point for the batch engine's ``_phrase_candidates``
-    and the streaming engine's ``_phrase_scores_seg`` (the batch/
-    streaming phrase parity test pins one expression, so it must
-    exist once)."""
+    and the streaming engine's ``_phrase_scores_seg``. (The
+    batch/streaming parity test compares RESULTS on a fixture, not the
+    compiled expression — sharing the compilation point here is what
+    actually prevents the two engines from diverging.) Callers must
+    pass a non-empty ``parts`` list (empty phrases are handled at the
+    Phrase-branch guards)."""
     joined = reduce(lambda a, b: a.join(b, "doc_id"), parts)
     n_terms = len(parts)
     if n_terms == 1:
@@ -803,6 +806,13 @@ class SearchEngine:
             df = stats.get(node.term, (0, 0))[0]
             return self._term_scores(node.term, df)
         if isinstance(node, qp.Phrase):
+            if not node.terms:
+                # a whitespace-only quoted phrase parses to Phrase(())
+                # — matches nothing (reduce over zero score parts would
+                # otherwise raise)
+                return self.spark.createDataFrame(
+                    [], "doc_id long, score double"
+                )
             cand = self._phrase_candidates(node.terms, node.proximity)
             score_parts = [
                 self._eval(qp.Term(t), stats).withColumnRenamed("score", "s")

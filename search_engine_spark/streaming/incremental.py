@@ -479,6 +479,10 @@ class IncrementalIndexer:
                 "the stream with store_positions=True (or compact() and "
                 "use SearchEngine)"
             )
+        if not terms:
+            # whitespace-only quoted phrase → Phrase(()) — matches
+            # nothing (same guard as the batch Phrase branch)
+            return self.spark.createDataFrame([], "doc_id long, score double")
 
         def term_hits(t: str) -> DataFrame:
             hits = postings

@@ -132,3 +132,14 @@ def test_mai_corpus_search(spark, tmp_path_factory):
     assert _docs(engine, "авиационный && институт") == [0]
     assert sorted(d for d, _ in oracle.search("авиационный && институт", 10)) == [0]
     assert _docs(engine, "Авиационный && институт") == [1]
+
+
+def test_empty_phrase_matches_nothing(spark, tmp_path_factory):
+    """A whitespace-only quoted phrase parses to Phrase(()) — it must
+    return zero hits, not crash on reduce() of an empty score list."""
+    engine, _ = _mk(
+        spark, tmp_path_factory.mktemp("golden_empty_phrase"), PHRASE_TEXTS
+    )
+    assert _docs(engine, '"   "') == []
+    # composed with a real term the empty leaf stays a no-match
+    assert _docs(engine, 'институт && "  "') == []

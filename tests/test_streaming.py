@@ -473,3 +473,5 @@ def test_streaming_boolean_search_matches_batch(spark, tmp_path):
     # the reversed phrase never occurs in the fixture text
     assert ixer.search_query('"корпус общий"', 5).count() == 0
     assert ixer.search_query('"общий корпус"', 5).count() > 0
+    # whitespace-only phrase parses to Phrase(()) — zero hits, no crash
+    assert ixer.search_query('"   "', 5).count() == 0
