@@ -109,6 +109,74 @@ def _r6(df: DataFrame, *cols: str) -> DataFrame:
     return df
 
 
+_STREAMS: dict = {}
+
+
+def _stream_indexer(spark: SparkSession, sf_dir: str):
+    """Build (or reuse) a 3-wave incremental STREAMING index over the
+    same pages table the batch engine indexes — the gate's proof that
+    the Structured-Streaming path (segment append, cross-segment URL
+    dedup, global df/avgdl bookkeeping) reproduces the batch engine's
+    BM25 algebra bit-for-bit against the DuckDB oracle.
+
+    Waves are deterministic ``doc_id % 3`` slices, each drained with an
+    availableNow trigger → ≥3 on-disk segments, so the queries below
+    really merge multi-segment postings (df, avgdl and NOT's doc
+    universe all span segments). Streaming doc_ids follow ARRIVAL
+    order, not url order — results are mapped back to the original
+    doc_id via the docmeta url, and the gate queries return FULL result
+    sets (no top-k cut), so nothing depends on the internal id order."""
+    from search_engine_spark.streaming.incremental import IncrementalIndexer
+
+    key = os.path.abspath(sf_dir)
+    if key in _STREAMS:
+        return _STREAMS[key]
+    tag = hashlib.md5(
+        (key + repr(sorted(ENTRY_CFG.to_dict().items())) + "|stream_v1").encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"se_graft_stream_{tag}")
+    landing = os.path.join(root, "landing")
+    idx = os.path.join(root, "idx")
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+
+    ixer = IncrementalIndexer(spark, idx, ENTRY_CFG, postings_buckets=8)
+    st = ixer._read_state()
+    if not (st["segments"] and st["next_doc_id"] == n_docs):
+        # stale or partial build (e.g. a crashed prior process) → rebuild
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(landing, exist_ok=True)
+        ixer = IncrementalIndexer(spark, idx, ENTRY_CFG, postings_buckets=8)
+        for wave in range(3):
+            _as_pages(docs.filter(F.col("doc_id") % 3 == wave)).coalesce(
+                1
+            ).write.mode("append").parquet(landing)
+            ixer.start(landing).awaitTermination(600)
+        st = ixer._read_state()
+        if st["next_doc_id"] != n_docs:  # every unique url must ingest
+            raise RuntimeError(
+                f"stream ingest mismatch: {st['next_doc_id']} != {n_docs}"
+            )
+    _STREAMS[key] = ixer
+    return ixer
+
+
+def _stream_orig_ids(ixer, df: DataFrame) -> DataFrame:
+    """Streaming analog of :func:`_orig_ids` — arrival-order stream ids
+    → original doc_ids via the segment docmeta url."""
+    m = ixer.docmeta().select(
+        F.col("doc_id"),
+        F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("_orig"),
+    )
+    return (
+        df.join(m, "doc_id")
+        .drop("doc_id")
+        .withColumnRenamed("_orig", "doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL building blocks
 # ---------------------------------------------------------------------------
@@ -419,6 +487,26 @@ def _q_batch_search(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     out = eng.search_batch(["join", "fast"], k=5)
     return _r6(_orig_ids(eng, out), "score").select("doc_id", "score", "query")
+
+
+def _q_stream_bm25(spark, sf_dir):
+    """Streaming boolean BM25 over a 3-segment incremental index: the
+    full `join && slow` result set must hash-match the same batch
+    oracle the batch engine answers — global df/avgdl across segments,
+    AND sums its children, engine ids mapped back via docmeta url."""
+    ix = _stream_indexer(spark, sf_dir)
+    out = ix.search_query("join && slow", k=(1 << 31) - 1)
+    return _r6(_stream_orig_ids(ix, out), "score").select("doc_id", "score")
+
+
+def _q_stream_phrase(spark, sf_dir):
+    """Streaming phrase query over the segments' positions columns —
+    same contract (and same oracle SQL) as the batch `phrase_scored`:
+    consecutive token ordinals, scored as the sum of the member terms'
+    BM25 contributions."""
+    ix = _stream_indexer(spark, sf_dir)
+    out = ix.search_query('"table scan"', k=(1 << 31) - 1)
+    return _r6(_stream_orig_ids(ix, out), "score").select("doc_id", "score")
 
 
 def _q_match_counts(spark, sf_dir):
@@ -1234,6 +1322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_filter": _q_source_filter,
         "phrase": _q_phrase,
         "phrase_scored": _q_phrase_scored,
+        "stream_bm25": _q_stream_bm25,
+        "stream_phrase": _q_stream_phrase,
         "proximity": _q_proximity,
         "batch_search": _q_batch_search,
         "match_counts": _q_match_counts,
@@ -1442,9 +1532,39 @@ FROM anded x JOIN documents d USING (doc_id)
 WHERE d.lang = 'de'
 ORDER BY x.s DESC, x.doc_id ASC LIMIT 10
 """,
+        # streaming boolean AND over the 3-segment incremental index —
+        # same oracle shape as bm25_and, different term pair
+        "stream_bm25": _BM25 + """
+SELECT a.doc_id, round(a.s + b.s, 6) AS score
+FROM score a JOIN score b USING (doc_id)
+WHERE a.term = 'join' AND b.term = 'slow'
+""",
         # phrase candidates (consecutive ordinals) scored with the sum of
         # both terms' BM25 contributions
         "phrase_scored": _BM25 + """
+, raw2 AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+flat2 AS (
+  SELECT doc_id, unnest(arr) AS w, unnest(range(1, len(arr)+1)) AS i
+  FROM raw2
+),
+ot AS (
+  SELECT doc_id, lower(w) AS term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+  FROM flat2 WHERE length(w) BETWEEN 2 AND 50
+),
+cand AS (
+  SELECT DISTINCT a.doc_id FROM ot a JOIN ot b
+    ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
+  WHERE a.term = 'table' AND b.term = 'scan'
+)
+SELECT c.doc_id, round(st.s + ss.s, 6) AS score
+FROM cand c
+JOIN (SELECT doc_id, s FROM score WHERE term = 'table') st USING (doc_id)
+JOIN (SELECT doc_id, s FROM score WHERE term = 'scan') ss USING (doc_id)
+""",
+        # the streamed index must answer the SAME phrase contract —
+        # the oracle body is shared with phrase_scored by construction
+        "stream_phrase": _BM25 + """
 , raw2 AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
 flat2 AS (
   SELECT doc_id, unnest(arr) AS w, unnest(range(1, len(arr)+1)) AS i
