@@ -1208,6 +1208,77 @@ def _md5_long(col) -> "F.Column":
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def _q_crawl_pages(spark, sf_dir):
+    """S2 end-to-end: the FULL wave-at-a-time crawl() loop
+    (operators/crawl.crawl; reference universal_crawler.py:132-224) —
+    robots gate, store fetch, E1-E10 parse, min-length gate with
+    link-dropping, BFS frontier — over a synthetic store whose every
+    ingredient is md5-arithmetic shared with the DuckDB oracle.
+
+    Store: doc i lives at http://w.example.org/<h>/doc<i> (h = one md5
+    hex char of 'p:<i>'), generic-template html wrapping the document
+    text, with two site-relative links to (i*37+11) mod N and an
+    md5-derived target (the crawl_reach graph). Robots: one domain
+    whose body exercises the reference parser's quirks (Allow ignored,
+    empty Disallow dropped, consecutive User-agent reset) and
+    effectively disallows two hex path prefixes. Pages shorter than
+    200 chars fail the min-length gate AND drop their links
+    (universal_crawler.py:196-200). Output = (doc_id, BFS depth,
+    extracted content length) for every collected page — the oracle
+    replays the gated BFS as a recursive CTE."""
+    import hashlib as _hl
+
+    from search_engine_spark.operators.crawl import crawl
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    n = d.count()
+    i = F.col("doc_id")
+
+    def _pref(c):
+        return F.substring(
+            F.md5(F.concat(F.lit("p:"), c.cast("string"))), 1, 1
+        )
+
+    def _url(c):
+        return F.concat(F.lit("http://w.example.org/"), _pref(c),
+                        F.lit("/doc"), c.cast("string"))
+
+    dst1 = (i * 37 + 11) % n
+    dst2 = _md5_long(F.concat(F.lit("e:"), i.cast("string"))) % n
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>x</title></head><body><h1>Doc "),
+            i.cast("string"),
+            F.lit("</h1><main><p>"), F.col("text"), F.lit("</p></main>"),
+            F.lit('<a href="/'), _pref(dst1), F.lit("/doc"),
+            dst1.cast("string"),
+            F.lit('">l</a><a href="/'), _pref(dst2), F.lit("/doc"),
+            dst2.cast("string"),
+            F.lit('">m</a></body></html>'),
+        ),
+        "utf-8",
+    )
+    store = d.select(_url(i).alias("url"), html.alias("html"))
+    c1 = _hl.md5(b"cr1:w").hexdigest()[0]
+    c2 = _hl.md5(b"cr2:w").hexdigest()[0]
+    body = (
+        f"User-agent: *\nDisallow: /{c1}\nAllow: /zzz\nDisallow:\n\n"
+        f"User-agent: badbot\nUser-agent: searchenginebot\n"
+        f"Disallow: /{c2}\n"
+    )
+    robots = spark.createDataFrame(
+        [("w.example.org", body)], "domain string, robots_txt string"
+    )
+    seeds = d.where(i % 89 == 0).select(_url(i).alias("url"))
+    pages, _ = crawl(store, seeds, robots=robots, max_depth=3,
+                     min_article_length=200)
+    return pages.select(
+        F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("depth").cast("int").alias("depth"),
+        F.length("content").cast("int").alias("content_len"),
+    )
+
+
 def _q_crawl_reach(spark, sf_dir):
     """S1/S4-adjacent crawl surface: bounded-depth BFS reachability
     (operators/crawl.crawl_frontier — the distributed form of
@@ -1373,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_bool": _q_regex_bool,
         "index_valid": _q_index_valid,
         "vocab_growth": _q_vocab_growth,
+        "crawl_pages": _q_crawl_pages,
         "crawl_reach": _q_crawl_reach,
         "robots_allow": _q_robots_allow,
         "events_latest": _q_events_latest,
@@ -2118,6 +2190,44 @@ WHERE regexp_matches(text, 'join (the|a|big)\\s', 'i')
         "index_valid": """
 SELECT true AS ok, 0::BIGINT AS orphans, 0::BIGINT AS df_mismatches,
        0::BIGINT AS block_mismatches, 0::BIGINT AS bad_ranges
+""",
+        # full crawl() loop: gated BFS as a recursive CTE — expansion
+        # only from pages that are robots-allowed AND long enough
+        # (failed pages are visited but drop their links); collected =
+        # reached ∧ allowed ∧ long, depth = min gated-path depth
+        "crawl_pages": """
+WITH RECURSIVE
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+gate AS (
+  SELECT doc_id, length(text) AS clen,
+         NOT (substr(md5('p:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                  IN (substr(md5('cr1:w'), 1, 1), substr(md5('cr2:w'), 1, 1))
+             ) AS allowed,
+         length(text) >= 200 AS long_enough
+  FROM documents
+),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id*37+11) % nn.n AS dst
+  FROM documents d, nn
+  UNION ALL
+  SELECT d.doc_id,
+         CAST(('0x' || substr(md5('e:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % nn.n
+  FROM documents d, nn
+),
+walk(id, depth) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % 89 = 0
+  UNION
+  SELECT e.dst, w.depth + 1
+  FROM walk w
+  JOIN gate g ON g.doc_id = w.id AND g.allowed AND g.long_enough
+  JOIN edges e ON e.src = w.id
+  WHERE w.depth < 3
+),
+reach AS (SELECT id, MIN(depth)::INT AS depth FROM walk GROUP BY id)
+SELECT r.id AS doc_id, r.depth, g.clen::INT AS content_len
+FROM reach r JOIN gate g ON g.doc_id = r.id
+WHERE g.allowed AND g.long_enough
 """,
         "crawl_reach": """
 WITH RECURSIVE
