@@ -1208,6 +1208,34 @@ def _md5_long(col) -> "F.Column":
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def _q_category_seeds(spark, sf_dir):
+    """S1: the category seed scan (operators/crawl.
+    wikipedia_category_seeds; reference crawler.py:139-218) over a
+    synthetic (url, category) membership table: every doc belongs to
+    cat<id%7> and to subcategory sub<id%17>; docs with id%3==0 link
+    Category:sub<id%17> under cat<id%7>. Probing cat0 exercises the
+    whole contract — direct members ∪ members of the first 10
+    lexically-ordered subcategories (>10 exist, so the reference's
+    10-subcat cap bites), Category: rows excluded from the output."""
+    from search_engine_spark.operators.crawl import wikipedia_category_seeds
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    url = F.format_string("doc://%09d", "doc_id")
+    cat = F.concat(F.lit("cat"), (F.col("doc_id") % 7).cast("string"))
+    sub = F.concat(F.lit("sub"), (F.col("doc_id") % 17).cast("string"))
+    membership = (
+        d.select(url.alias("url"), cat.alias("category"))
+        .unionByName(d.select(url.alias("url"), sub.alias("category")))
+        .unionByName(
+            d.where(F.col("doc_id") % 3 == 0).select(
+                F.concat(F.lit("Category:"), sub).alias("url"),
+                cat.alias("category"),
+            )
+        )
+    )
+    return wikipedia_category_seeds(membership, "cat0")
+
+
 def _q_crawl_pages(spark, sf_dir):
     """S2 end-to-end: the FULL wave-at-a-time crawl() loop
     (operators/crawl.crawl; reference universal_crawler.py:132-224) —
@@ -1444,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_bool": _q_regex_bool,
         "index_valid": _q_index_valid,
         "vocab_growth": _q_vocab_growth,
+        "category_seeds": _q_category_seeds,
         "crawl_pages": _q_crawl_pages,
         "crawl_reach": _q_crawl_reach,
         "robots_allow": _q_robots_allow,
@@ -2190,6 +2219,34 @@ WHERE regexp_matches(text, 'join (the|a|big)\\s', 'i')
         "index_valid": """
 SELECT true AS ok, 0::BIGINT AS orphans, 0::BIGINT AS df_mismatches,
        0::BIGINT AS block_mismatches, 0::BIGINT AS bad_ranges
+""",
+        # S1 category scan: direct members ∪ members of the first 10
+        # lexically-ordered subcategories, Category: rows excluded
+        "category_seeds": """
+WITH m AS (
+  SELECT printf('doc://%09d', doc_id) AS url,
+         'cat' || CAST(doc_id % 7 AS VARCHAR) AS category
+  FROM documents
+  UNION ALL
+  SELECT printf('doc://%09d', doc_id),
+         'sub' || CAST(doc_id % 17 AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'Category:sub' || CAST(doc_id % 17 AS VARCHAR),
+         'cat' || CAST(doc_id % 7 AS VARCHAR)
+  FROM documents WHERE doc_id % 3 = 0
+),
+subs AS (
+  SELECT DISTINCT substr(url, 10) AS sc
+  FROM m WHERE category = 'cat0' AND url LIKE 'Category:%'
+  ORDER BY sc LIMIT 10
+),
+hits AS (
+  SELECT url FROM m WHERE category = 'cat0'
+  UNION ALL
+  SELECT m.url FROM m JOIN subs ON m.category = subs.sc
+)
+SELECT DISTINCT url FROM hits WHERE url NOT LIKE 'Category:%'
 """,
         # full crawl() loop: gated BFS as a recursive CTE — expansion
         # only from pages that are robots-allowed AND long enough
