@@ -1208,6 +1208,33 @@ def _md5_long(col) -> "F.Column":
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+_COMPACTED: dict = {}
+
+
+def _q_stream_compact(spark, sf_dir):
+    """Streaming→batch compaction: compact() merges the incremental
+    index's segments into a full batch IndexStore (dictionary +
+    compressed block-max blocks rebuilt from the streamed postings),
+    and the BATCH SearchEngine answers over it — the result must equal
+    the same DuckDB oracle as a batch-built index would produce. Pins
+    the whole segment-merge path, not just segment-union search."""
+    from search_engine_spark.operators.query_eval import SearchEngine
+
+    ix = _stream_indexer(spark, sf_dir)
+    key = os.path.abspath(sf_dir)
+    if key not in _COMPACTED:
+        out = os.path.join(os.path.dirname(ix.dir), "compacted")
+        if not os.path.exists(os.path.join(out, "meta.json")):
+            import shutil
+
+            shutil.rmtree(out, ignore_errors=True)
+            ix.compact(out)
+        _COMPACTED[key] = out
+    eng = SearchEngine(spark, _COMPACTED[key])
+    df = eng.scores_df("vector || slow")
+    return _r6(_orig_ids(eng, df), "score").select("doc_id", "score")
+
+
 def _q_category_seeds(spark, sf_dir):
     """S1: the category seed scan (operators/crawl.
     wikipedia_category_seeds; reference crawler.py:139-218) over a
@@ -1423,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_scored": _q_phrase_scored,
         "stream_bm25": _q_stream_bm25,
         "stream_phrase": _q_stream_phrase,
+        "stream_compact": _q_stream_compact,
         "proximity": _q_proximity,
         "batch_search": _q_batch_search,
         "match_counts": _q_match_counts,
@@ -1639,6 +1667,16 @@ ORDER BY x.s DESC, x.doc_id ASC LIMIT 10
 SELECT a.doc_id, round(a.s + b.s, 6) AS score
 FROM score a JOIN score b USING (doc_id)
 WHERE a.term = 'join' AND b.term = 'slow'
+""",
+        # compacted-stream batch query: same result set as bm25_or
+        # (vector || slow ≡ slow || vector) — the hash equality with a
+        # batch-built index's answer is the point
+        "stream_compact": _BM25 + """
+SELECT doc_id,
+       round(coalesce(a.s, 0.0) + coalesce(b.s, 0.0), 6) AS score
+FROM (SELECT doc_id, s FROM score WHERE term = 'vector') a
+FULL OUTER JOIN (SELECT doc_id, s FROM score WHERE term = 'slow') b
+  USING (doc_id)
 """,
         # phrase candidates (consecutive ordinals) scored with the sum of
         # both terms' BM25 contributions
