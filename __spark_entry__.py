@@ -554,6 +554,39 @@ def _q_zipf_fit(spark, sf_dir):
                "c", "s", "r2")
 
 
+def _q_dist_stats(spark, sf_dir):
+    """Z5: one-row term-frequency distribution summary over the
+    dictionary's collection frequencies."""
+    from search_engine_spark.operators.analytics import distribution_stats
+
+    eng = _engine(spark, sf_dir)
+    freqs = eng.dictionary.select(
+        "term", F.col("cf").cast("long").alias("freq")
+    )
+    return _r6(distribution_stats(freqs),
+               "mean_freq", "median_freq", "std_freq")
+
+
+def _q_zipf_mandelbrot(spark, sf_dir):
+    """Z9: Zipf–Mandelbrot expected frequencies total/(rank+b)^a at
+    fixed (a=1.0, b=2.7) — the total is the FULL collection token
+    count; output restricted to the top 50 ranks."""
+    from search_engine_spark.operators.analytics import (
+        zipf_mandelbrot_expected,
+        zipf_rank_table,
+    )
+
+    eng = _engine(spark, sf_dir)
+    freqs = eng.dictionary.select(
+        "term", F.col("cf").cast("long").alias("freq")
+    )
+    ranked = zipf_rank_table(freqs, n_terms=eng.n_terms)
+    out = zipf_mandelbrot_expected(ranked, a=1.0, b=2.7).where(
+        F.col("rank") <= 50
+    )
+    return _r6(out, "expected_freq")
+
+
 def _q_entropy(spark, sf_dir):
     from search_engine_spark.operators.analytics import entropy
 
@@ -1457,6 +1490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest": _q_suggest,
         "more_like_this": _q_mlt,
         "zipf_rank": _q_zipf_rank,
+        "dist_stats": _q_dist_stats,
+        "zipf_mandelbrot": _q_zipf_mandelbrot,
         "zipf_fit": _q_zipf_fit,
         "entropy": _q_entropy,
         "gini": _q_gini,
@@ -1778,6 +1813,29 @@ freqs AS (SELECT term, count(*)::BIGINT AS freq FROM toks GROUP BY term)
 SELECT row_number() OVER (ORDER BY freq DESC, term ASC)::BIGINT AS rank,
        term, freq
 FROM freqs ORDER BY rank LIMIT 100
+""",
+        "dist_stats": "WITH " + _TOKS + """,
+freqs AS (SELECT term, count(*)::BIGINT AS freq FROM toks GROUP BY term)
+SELECT sum(freq)::BIGINT AS total_tokens,
+       count(*)::BIGINT AS unique_terms,
+       max(freq)::BIGINT AS max_freq,
+       min(freq)::BIGINT AS min_freq,
+       round(avg(freq), 6) AS mean_freq,
+       round(median(freq), 6) AS median_freq,
+       round(stddev_pop(freq), 6) AS std_freq
+FROM freqs
+""",
+        "zipf_mandelbrot": "WITH " + _TOKS + """,
+freqs AS (SELECT term, count(*)::BIGINT AS freq FROM toks GROUP BY term),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY freq DESC, term ASC)::BIGINT AS rank,
+         term, freq
+  FROM freqs
+),
+tot AS (SELECT sum(freq)::DOUBLE AS t FROM freqs)
+SELECT rank, term, freq,
+       round(tot.t / pow(rank + 2.7, 1.0), 6) AS expected_freq
+FROM ranked, tot WHERE rank <= 50
 """,
         "zipf_fit": "WITH " + _TOKS + """,
 freqs AS (SELECT term, count(*) AS freq FROM toks GROUP BY term),
