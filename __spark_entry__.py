@@ -537,6 +537,18 @@ def _q_mlt(spark, sf_dir):
     )
 
 
+def _q_snippets(spark, sf_dir):
+    """V14: top-k with highlighted snippets — ±5-token window around
+    the first query-term hit, [term] highlighting, ellipses on clipped
+    sides (boolean_search.cpp:310-396). The oracle rebuilds the window
+    with DuckDB list lambdas over the same whitespace token stream."""
+    eng = _engine(spark, sf_dir)
+    out = eng.search_with_snippets("join", k=10)
+    return _r6(_orig_ids(eng, out), "score").select(
+        "doc_id", "score", "snippet"
+    )
+
+
 def _q_zipf_rank(spark, sf_dir):
     from search_engine_spark.operators.analytics import zipf_rank_table
 
@@ -1488,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_search": _q_batch_search,
         "match_counts": _q_match_counts,
         "suggest": _q_suggest,
+        "snippets": _q_snippets,
         "more_like_this": _q_mlt,
         "zipf_rank": _q_zipf_rank,
         "dist_stats": _q_dist_stats,
@@ -1813,6 +1826,43 @@ freqs AS (SELECT term, count(*)::BIGINT AS freq FROM toks GROUP BY term)
 SELECT row_number() OVER (ORDER BY freq DESC, term ASC)::BIGINT AS rank,
        term, freq
 FROM freqs ORDER BY rank LIMIT 100
+""",
+        # V14: ±5-token window around the first 'join' hit with [term]
+        # highlighting and clip ellipses, over the bm25_single top-10
+        "snippets": _BM25 + """
+, hits AS (
+  SELECT doc_id, s FROM score WHERE term = 'join'
+  ORDER BY s DESC, doc_id ASC LIMIT 10
+),
+tk AS (
+  SELECT h.doc_id, h.s,
+         list_transform(
+           list_filter(string_split(d.text, ' '),
+                       w -> length(w) BETWEEN 2 AND 50),
+           w -> lower(w)) AS toks
+  FROM hits h JOIN documents d USING (doc_id)
+),
+win AS (
+  SELECT doc_id, s, toks,
+         list_position(toks, 'join') AS p,
+         len(toks) AS n
+  FROM tk
+),
+cut AS (
+  SELECT doc_id, s,
+         greatest(1, p - 5) AS lo,
+         least(n, p + 5) AS hi, n,
+         toks[greatest(1, p - 5):least(n, p + 5)] AS wnd
+  FROM win
+)
+SELECT doc_id, round(s, 6) AS score,
+       (CASE WHEN lo > 1 THEN '... ' ELSE '' END)
+       || array_to_string(
+            list_transform(wnd,
+              w -> CASE WHEN w = 'join' THEN '[' || w || ']' ELSE w END),
+            ' ')
+       || (CASE WHEN hi < n THEN ' ...' ELSE '' END) AS snippet
+FROM cut
 """,
         "dist_stats": "WITH " + _TOKS + """,
 freqs AS (SELECT term, count(*)::BIGINT AS freq FROM toks GROUP BY term)
