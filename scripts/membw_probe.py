@@ -93,13 +93,21 @@ def best_of(mode: str, cores: list[int], trials: int,
     return best
 
 
-def quick_stream_state(reps: int = 4) -> dict:
+def quick_stream_state(reps: int = 4, trials: int = 3) -> dict:
     """Light bandwidth sample (1-core and 4-core stream with ``reps``
-    copies) — the shared box_state probe for bench.py and the scaling
-    harnesses."""
+    copies, best-of-``trials``) — the shared box_state probe for
+    bench.py and the scaling harnesses.
+
+    Best-of matters: the box injects ONE-SIDED multi-10s stalls (THP
+    compaction), and a single stall inside a ~1.4 s 4-rep sample reads
+    as ~1 GB/s even when the box is healthy. A single-trial version of
+    this probe read 0.2–3 GB/s for hours while the full best-of-3
+    probe read 11–14 GB/s minutes apart and actual Spark walls were
+    the best on record — the gate never fired because the PROBE
+    under-read. Capability = best observed across short trials."""
     gb = reps * 2 * 400_000_000 / 1e9
-    one = run_pinned("stream", [0], reps)[0]
-    four = run_pinned("stream", [0, 1, 2, 3], reps)
+    one = best_of("stream", [0], trials, reps)[0]
+    four = best_of("stream", [0, 1, 2, 3], trials, reps)
     return {
         "stream_bw_1core_gb_s": round(gb / one, 2),
         "stream_bw_4core_total_gb_s": round(sum(gb / t for t in four), 2),
