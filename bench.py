@@ -50,10 +50,11 @@ def _wait_for_healthy_window() -> dict:
     outcome recorded so the number is auditable.
 
     Env knobs: SPARK_GRAFT_HEALTHY_BW (GB/s threshold, 0 disables;
-    default 12), SPARK_GRAFT_HEALTHY_WAIT_S (budget; default 300),
+    default 12), SPARK_GRAFT_HEALTHY_WAIT_S (budget; default 600 —
+    the box recovers from work-induced degradation in 2-4 idle min),
     SPARK_GRAFT_HEALTHY_PROBE_S (re-probe interval; default 45)."""
     thr = float(os.environ.get("SPARK_GRAFT_HEALTHY_BW", "12"))
-    budget = float(os.environ.get("SPARK_GRAFT_HEALTHY_WAIT_S", "300"))
+    budget = float(os.environ.get("SPARK_GRAFT_HEALTHY_WAIT_S", "600"))
     interval = float(os.environ.get("SPARK_GRAFT_HEALTHY_PROBE_S", "45"))
     if thr <= 0:
         return {"healthy_wait": "disabled"}
